@@ -1,0 +1,48 @@
+package graft.analytics
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-measure hash aggregation over the fact table — the engine's
+  * analog of the reference's weekly-demand rollup
+  * (`src/main/java/com/retail/ingestion/FullPreprocessingPipeline.java:164-173`:
+  * `groupBy(store,product,week).agg(sum, avg, max)` with max-as-boolean-OR
+  * flags), re-expressed over `lineitem`.
+  *
+  * Scale: a single hash aggregate with map-side partial aggregation — the
+  * shuffle carries one row per group, not per input row. Grouping keys are
+  * low-cardinality (flag x status), so at 100 TB the reduce side is tiny;
+  * all cost is the scan, which prunes to exactly the 7 referenced columns.
+  */
+object PricingSummary {
+
+  /** TPC-H Q1-shaped summary: per (returnflag, linestatus) totals. */
+  def apply(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        // exact decimal product then exact decimal sum: order-independent
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Oracle SQL (DuckDB) computing the identical result bit-for-bit. */
+  val oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Bit-exact floating aggregate helpers.
+  *
+  * Double summation is order-dependent, and Spark's partial aggregation
+  * order differs run to run and engine to engine — a raw `sum(double)`
+  * cannot hash-match a DuckDB oracle. These helpers route the aggregation
+  * through an exact decimal intermediate (decimal addition is associative)
+  * and cast back to double once at the end, which is deterministic and
+  * engine-independent: the same pattern `CAST(SUM(CAST(x AS
+  * DECIMAL(p,s))) AS DOUBLE)` on the oracle side yields bit-identical
+  * doubles.
+  *
+  * Scale note: decimal aggregation is ~2x the cost of a double sum but
+  * stays inside whole-stage codegen and partial (map-side) aggregation,
+  * so it scales the same way. At 100 TB the precision-18 intermediate
+  * holds sums up to 10^14 at scale 4 — callers with wider domains pass
+  * their own `DecimalType`.
+  */
+object Exact {
+  /** Default intermediate: values up to ~10^14 with 4 decimal places. */
+  val D: DecimalType = DecimalType(18, 4)
+
+  /** Exact decimal cast of a double column (no ties at scale 4: binary
+    * doubles can never land exactly halfway between two scale-4 decimals,
+    * so Spark's and DuckDB's double→decimal roundings agree).
+    */
+  def dec(c: Column): Column = c.cast(D)
+
+  /** Order-independent `sum(double)`: oracle form
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Order-independent `avg(double)`: exact decimal sum, then a single
+    * IEEE double division. Oracle form
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+}
