@@ -10,22 +10,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * express it) an equivalent DuckDB oracle statement. Column names and
   * values are constructed to hash-match the oracle exactly (see
   * [[graft.functions.Exact]] for the float-determinism strategy).
+  *
+  * Query registries live per domain under [[graft.queries]]; this object
+  * just merges them.
   */
 object SparkEntry {
+
+  private def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    graft.queries.RelationalQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     analytics.PricingSummary(Catalog(spark, "/root/testdata/sf0.001").lineitem)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => analytics.PricingSummary(Catalog(s, dir).lineitem))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted entries get the driver's weaker
+    * rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> analytics.PricingSummary.oracle
-  )
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, (_, Some(sql))) => k -> sql }
 }

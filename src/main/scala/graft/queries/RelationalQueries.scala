@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.functions.Exact._
+import graft.transform.{Cleaning, Dedup, Derive}
+import graft.{analytics => an}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY §2.1–§2.8) as named queries over
+  * the testdata star schema, each with a DuckDB oracle. Entries are
+  * `name -> (query, Some(oracleSql))`.
+  */
+object RelationalQueries {
+
+  private val repurchaseWindow = 30
+  private val cohortSplitDay   = 1200
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // A1/A12 — multi-measure hash aggregate (TPC-H Q1 shape)
+    "q1_agg" -> (
+      ((s: SparkSession, d: String) => an.PricingSummary(Catalog(s, d).lineitem)),
+      Some(an.PricingSummary.oracle)),
+
+    // P1/P7/P9 — projection + conjunctive range predicates (Q6 shape)
+    "q2_filter_project" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.08) && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 10""".stripMargin)),
+
+    // J1/J2 — star join with broadcast dims + aggregate
+    "q3_join_agg" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        an.RevenueByNation(c.lineitem, c.supplier, c.nation, c.region, "ASIA")
+      }),
+      Some(an.RevenueByNation.oracle("ASIA"))),
+
+    // P3/P6/P10/F1/F2 — derived columns, when/otherwise, int day math
+    "q4_derive" -> (
+      ((s: SparkSession, d: String) => Derive.pricing(Catalog(s, d).lineitem)
+        .select("l_orderkey", "l_linenumber", "net_price", "unit_price",
+          "is_discounted", "disc_band", "day", "week_no", "day_of_week")),
+      Some(Derive.pricingOracle)),
+
+    // W1 — row_number window, first event per group
+    "q5_window_first" -> (
+      ((s: SparkSession, d: String) => an.FirstPurchase(Catalog(s, d).orders)),
+      Some(an.FirstPurchase.oracle)),
+
+    // A11/O1/O2 — top-K with deterministic tie-break
+    "q6_topk" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        an.TopProducts(c.lineitem, c.part, 25)
+      }),
+      Some(an.TopProducts.oracle(25))),
+
+    // J4/J5/J6/A7 — range (repurchase-within-window) join, naive form
+    "q7_repurchase" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        an.Repurchase(c.orders, c.lineitem, repurchaseWindow)
+      }),
+      Some(an.Repurchase.oracle(repurchaseWindow))),
+
+    // J4 at scale — band-join rewrite, same oracle as q7
+    "q8_band_join" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        an.Repurchase.bandJoin(c.orders, c.lineitem, repurchaseWindow)
+      }),
+      Some(an.Repurchase.oracle(repurchaseWindow))),
+
+    // A2/A4 — RFM with countDistinct + global-max broadcast
+    "q9_rfm" -> (
+      ((s: SparkSession, d: String) => an.Rfm(Catalog(s, d).orders)),
+      Some(an.Rfm.oracle)),
+
+    // A9/F4 — cohort rates with expr() ratio
+    "q10_cohort_rates" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        an.Repurchase.cohortRates(
+          an.Repurchase(c.orders, c.lineitem, repurchaseWindow), cohortSplitDay)
+      }),
+      Some(an.Repurchase.cohortOracle(repurchaseWindow, cohortSplitDay))),
+
+    // P13 — deterministic keyed dedup (dropDuplicates replacement)
+    "q11_dedup_keys" -> (
+      ((s: SparkSession, d: String) => Dedup.dedupByKeys(
+        Catalog(s, d).lineitem.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"),
+        keys = Seq("l_partkey", "l_suppkey"),
+        ordering = Seq("l_orderkey", "l_linenumber"))),
+      Some("""SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM (
+             |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             |    row_number() OVER (PARTITION BY l_partkey, l_suppkey
+             |                       ORDER BY l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn = 1""".stripMargin)),
+
+    // P8/P11/P12 + J5 — left join with coalesce/na.fill defaults
+    "q12_left_join_fill" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        val masked = c.customer.withColumn(
+          "acctbal_filled", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+        val agg = c.orders.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_spent"))
+        Cleaning.fillNumeric(
+          masked.join(agg, col("c_custkey") === col("o_custkey"), "left"),
+          Seq("acctbal_filled", "total_spent"), 0.0)
+          .select(
+            col("c_custkey"), col("acctbal_filled"),
+            coalesce(col("order_count"), lit(0L)).as("order_count"), col("total_spent"))
+      }),
+      Some("""SELECT c_custkey,
+             |  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal_filled,
+             |  COALESCE(o.cnt, 0) AS order_count,
+             |  COALESCE(o.total, 0.0) AS total_spent
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS cnt,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""".stripMargin)),
+
+    // §2.7 — union / intersect / except (all DISTINCT semantics)
+    "q13_set_ops" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        val urgent   = c.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+        val high     = c.orders.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey").as("custkey"))
+        val positive = c.customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+        val building = c.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+        urgent.union(high).distinct().intersect(positive).except(building)
+      }),
+      Some("""SELECT custkey FROM (
+             |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |   UNION
+             |   SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+             |  INTERSECT
+             |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+             |  EXCEPT
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)),
+
+    // left_semi join (EXISTS)
+    "q14_semi_join" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        c.customer
+          .join(c.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      }),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // left_anti join (NOT EXISTS)
+    "q15_anti_join" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        c.customer
+          .join(c.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      }),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // A5 — single-pass per-column non-null counts
+    "q16_null_scan" -> (
+      ((s: SparkSession, d: String) => Cleaning.nonNullCounts(Catalog(s, d).customer)),
+      Some("""SELECT count(c_custkey) AS c_custkey, count(c_name) AS c_name,
+             |  count(c_nationkey) AS c_nationkey, count(c_acctbal) AS c_acctbal,
+             |  count(c_mktsegment) AS c_mktsegment, count(*) AS n_rows
+             |FROM customer""".stripMargin)),
+
+    // A4/A12 — global scalar aggregates in one row
+    "q17_global_agg" -> (
+      ((s: SparkSession, d: String) => {
+        val o = Catalog(s, d).orders
+        o.agg(
+          max(Derive.dayIndex(col("o_orderdate"))).as("max_day"),
+          min(Derive.dayIndex(col("o_orderdate"))).as("min_day"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+      }),
+      Some("""SELECT
+             |  max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1) AS max_day,
+             |  min(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1) AS min_day,
+             |  count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+             |FROM orders""".stripMargin)),
+
+    // R3 — basket building: collect_set canonicalized to a sorted string
+    "q18_collect_set" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(sort_array(collect_set(col("l_partkey"))), ",").as("basket"),
+          size(collect_set(col("l_partkey"))).as("n_items"))),
+      Some("""SELECT l_orderkey,
+             |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS basket,
+             |  CAST(count(DISTINCT l_partkey) AS INT) AS n_items
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
+
+    // F5/F7 — string split + explode + count
+    "q19_explode_tokens" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).part
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+             |WHERE length(token) > 0
+             |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin))
+  )
+}

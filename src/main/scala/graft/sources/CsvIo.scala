@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** CSV source/sink with *declared* schemas.
+  *
+  * The reference reads every CSV with `inferSchema=true`
+  * (`src/main/java/com/retail/ingestion/DataLoader.java:9-11`), which
+  * costs a full extra pass over the data before any query runs — at 100 TB
+  * that is a 100 TB pre-scan. The engine declares schemas up front
+  * (SURVEY §1 mapping) and keeps inference as an explicit opt-in.
+  * [S1, S2, S8]
+  */
+object CsvIo {
+
+  /** Declared schema for the `customer` table (TESTDATA.md layout). */
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Opt-in inference, reference-parity behavior. */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Single-file CSV report (reference: `coalesce(1)` at
+    * `scripts/basket-analysis/top_products_by_count.py:21`) — only for
+    * report-sized outputs; a single part-file is a deliberate
+    * anti-parallelism choice. [S6]
+    */
+  def writeSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
