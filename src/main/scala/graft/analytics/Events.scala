@@ -1,0 +1,80 @@
+package graft.analytics
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events(event_id, ts, user_id,
+  * event_type, value, props)` table — batch forms of the streaming
+  * extension (SURVEY §2.11: the reference has no streams; these define the
+  * semantics the Structured Streaming path in [[graft.streaming]] must
+  * match).
+  */
+object Events {
+
+  /** Tumbling-hour aggregate per event type. In streaming this is exactly
+    * `groupBy(window($"ts","1 hour"), $"event_type")` + watermark; batch
+    * `date_trunc` keeps the oracle simple and the semantics identical.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val hourlyOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapMinutes`. Classic two-window
+    * pattern: lag to mark session starts, running sum to assign session
+    * ids — both windows share one shuffle on user_id (same partitioning),
+    * and the per-user ordering a 1000-executor cluster produces is
+    * identical because the keys are hash-partitioned and sorted within
+    * partitions.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = gapMinutes * 60L
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+  }
+
+  def sessionizeOracle(gapMinutes: Int): String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |assigned AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM marked)
+       |SELECT user_id, session_seq,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+       |FROM assigned GROUP BY user_id, session_seq""".stripMargin
+}

@@ -22,7 +22,21 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) so
+    * it arrives as nanos-since-epoch LongType, converted here to a proper
+    * microsecond timestamp (integer DIV — no double round-trip, which
+    * would lose precision above 2^53 ns).
+    */
+  def events: DataFrame = {
+    val raw = table("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

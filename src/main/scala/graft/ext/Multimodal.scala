@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (opaque-binary) column plumbing.
+  *
+  * North-star extension: treat image/audio/video payloads as `binary`
+  * columns with typed metadata, and run decode / feature-extraction as a
+  * per-partition batch stage. The Spark-side plumbing — schema, batch
+  * shape, partition-parallel execution, deterministic fake features — is
+  * real and tested; the actual media decode is STUBBED (no codec libs in
+  * this container): [[FakeDecoder.decode]] is a clearly-marked
+  * deterministic stand-in with the exact signature a JNI/FFmpeg-backed
+  * decoder would have.
+  *
+  * Scale design: payloads never shuffle — metadata extraction is a
+  * projection; anything needing grouping first reduces to (id, features).
+  * The decode stage is `mapPartitions` over an iterator (the Scala analog
+  * of arrow-batched `mapInPandas`), so one task holds one payload batch at
+  * a time regardless of executor count.
+  */
+object Multimodal {
+
+  /** A decoded-media feature row. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, first_byte: Int, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — deterministic fake in place of a real codec. */
+  object FakeDecoder {
+    /** Would be: decode(bytes) -> pixel buffer. Fake: sizes derived from
+      * the payload bytes themselves (stable under re-partitioning).
+      */
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val n = bytes.length
+      val first = if (n > 0) bytes(0) & 0xff else 0
+      MediaFeatures(id, n, first, width = n % 640, height = (n * 7) % 480, n_frames = n % 16 + 1)
+    }
+  }
+
+  /** Attach an opaque binary payload column (here: utf-8 bytes of `text`
+    * stand in for a media blob) plus typed metadata.
+    */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        col("source").as("origin"),
+        col("n_chars").as("content_hint")).as("meta"))
+
+  /** Partition-parallel "decode" over the payload batch — the stubbed
+    * stage. Returns a typed Dataset with the extracted features.
+    */
+  def decodeFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
+  }
+
+  /** Oracle for the fake-decode pipeline (the fake is arithmetic on byte
+    * length + first byte, so SQL can replay it).
+    */
+  val oracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+      |  CAST(COALESCE(ascii(substr(text, 1, 1)), 0) AS INT) AS first_byte,
+      |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+      |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height,
+      |  CAST(octet_length(CAST(text AS BLOB)) % 16 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale corpus pipelines: token counting, quality
+  * scoring, and n-gram-heuristic language ID over a `documents(doc_id,
+  * text, ...)` table. North-star extension (the reference has no string
+  * processing at all — SURVEY §2.8 F7).
+  *
+  * Every op is pure per-row column algebra (regex + arithmetic): no
+  * shuffles, stays in whole-stage codegen, trivially scales to any corpus
+  * size. Regexes are restricted to a dialect-portable subset (character
+  * classes, `\S`, `\b`) so the same pattern means the same thing to Java
+  * regex (Spark) and RE2 (DuckDB oracle).
+  */
+object TextStats {
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, or single punctuation
+    * marks — the usual pre-tokenizer split that upper-bounds BPE tokens.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-document token counts: whitespace tokens + BPE-ish tokens +
+    * chars-per-token ratio.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      countMatches(col("text"), "\\S+").as("n_words"),
+      countMatches(col("text"), bpeishPattern).as("n_bpeish_tokens"))
+      .withColumn("chars_per_word",
+        when(col("n_words") > 0, col("n_chars").cast("double") / col("n_words")).otherwise(lit(0.0)))
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish_tokens,
+      |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+      |       THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+      |       ELSE 0.0 END AS chars_per_word
+      |FROM documents""".stripMargin
+
+  private val stopwordPattern = "\\b(the|a|of|and|to|in|is|it)\\b"
+
+  /** Heuristic quality score: length band + stopword ratio + punctuation
+    * density — the standard cheap pre-filter for LLM training corpora.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val words = countMatches(col("text"), "\\S+")
+    val stops = countMatches(col("text"), stopwordPattern)
+    val punct = countMatches(col("text"), "[^A-Za-z0-9 ]")
+    documents.select(
+      col("doc_id"),
+      words.as("n_words"),
+      stops.as("n_stopwords"),
+      punct.as("n_punct"))
+      .withColumn("stopword_ratio",
+        when(col("n_words") > 0, col("n_stopwords").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_words") > 0, col("n_punct").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        when(col("n_words") < 5, lit(0.0)).otherwise(
+          lit(1.0)
+            - when(col("stopword_ratio") > 0.5, col("stopword_ratio") - 0.5).otherwise(lit(0.0))
+            - when(col("punct_ratio") > 0.2, lit(0.5)).otherwise(lit(0.0))))
+  }
+
+  val qualityOracle: String =
+    """WITH q AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS n_stopwords,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_punct
+      |FROM documents)
+      |SELECT doc_id, n_words, n_stopwords, n_punct,
+      |  CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE)/n_words ELSE 0.0 END AS stopword_ratio,
+      |  CASE WHEN n_words > 0 THEN CAST(n_punct AS DOUBLE)/n_words ELSE 0.0 END AS punct_ratio,
+      |  CASE WHEN n_words < 5 THEN 0.0 ELSE 1.0
+      |    - (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE)/n_words ELSE 0.0 END) > 0.5
+      |            THEN (CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE)/n_words ELSE 0.0 END) - 0.5 ELSE 0.0 END)
+      |    - (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(n_punct AS DOUBLE)/n_words ELSE 0.0 END) > 0.2
+      |            THEN 0.5 ELSE 0.0 END) END AS quality_score
+      |FROM q""".stripMargin
+
+  /** Marker-word language ID (n-gram heuristic): count hits of tiny
+    * language-specific word sets; highest count wins with a fixed
+    * precedence (en > es > fr > unknown) so ties are deterministic.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    def score(p: String) = countMatches(lower(col("text")), p)
+    val en = score("\\b(the|and|of|to|is)\\b")
+    val es = score("\\b(el|la|de|que|es)\\b")
+    val fr = score("\\b(le|la|de|et|est)\\b")
+    documents.select(col("doc_id"), en.as("en_score"), es.as("es_score"), fr.as("fr_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score") && col("en_score") > 0, lit("en"))
+          .when(col("es_score") >= col("fr_score") && col("es_score") > 0, lit("es"))
+          .when(col("fr_score") > 0, lit("fr"))
+          .otherwise(lit("unknown")))
+  }
+
+  val langIdOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS INT) AS en_score,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) AS INT) AS es_score,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|est)\b')) AS INT) AS fr_score
+      |FROM documents)
+      |SELECT doc_id, en_score, es_score, fr_score,
+      |  CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+      |       WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+      |       WHEN fr_score > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS predicted_lang
+      |FROM s""".stripMargin
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.ext._
+import graft.analytics.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extensions (dedup, similarity search,
+  * multimodal, text analysis, events) as named queries with DuckDB
+  * oracles where SQL can express them.
+  */
+object ExtensionQueries {
+
+  private def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog(s, d).embeddings
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
+  private val annBruteOracle: String =
+    s"""WITH ${VectorOps.oracleElems},
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= 5""".stripMargin
+
+  private def embeddingDups(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog(s, d).embeddings
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  private val embeddingDupsOracle: String =
+    s"""WITH ${VectorOps.oracleElems},
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+       |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // exact content dedup via hash-groupBy
+    "d1_dedup_exact" -> (
+      ((s: SparkSession, d: String) => ExactDedup.groups(Catalog(s, d).documents)),
+      Some(ExactDedup.groupsOracle)),
+
+    // MinHash signature matrix (md5-based, oracle-shared)
+    "d2_minhash_signatures" -> (
+      ((s: SparkSession, d: String) => MinHashDedup.signatureStrings(Catalog(s, d).documents)),
+      Some(MinHashDedup.signaturesOracle(5))),
+
+    // MinHash LSH banding -> candidates -> exact-Jaccard verify
+    "d3_minhash_pairs" -> (
+      ((s: SparkSession, d: String) => MinHashDedup.verifiedPairs(Catalog(s, d).documents, 5, 0.5)),
+      Some(MinHashDedup.verifiedPairsOracle(5, 0.5))),
+
+    // blocked exact n-gram Jaccard near-dup pairs
+    "d4_ngram_jaccard" -> (
+      ((s: SparkSession, d: String) => NgramJaccard.pairs(Catalog(s, d).documents, 5, 0.3)),
+      Some(NgramJaccard.oracle(5, 0.3))),
+
+    // SimHash fingerprints (64-bit, portable bit arithmetic)
+    "d5_simhash" -> (
+      ((s: SparkSession, d: String) => SimHash.fingerprints(Catalog(s, d).documents)),
+      Some(SimHash.fingerprintsOracle)),
+
+    // SimHash near-dup pairs via block pigeonhole (rows-only: candidate
+    // generation is structural; Hamming verify asserted in tests)
+    "d6_simhash_pairs" -> (
+      ((s: SparkSession, d: String) => SimHash.pairs(Catalog(s, d).documents, 8)),
+      None),
+
+    // embedding near-dup pairs, exact-decimal cosine
+    "d7_embedding_dups" -> (embeddingDups _, Some(embeddingDupsOracle)),
+
+    // brute-force ANN top-5 (the exactness baseline)
+    "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
+
+    // sign-LSH bucketed ANN (scale path; recall asserted in tests)
+    "s2_ann_lsh" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnLsh.topK(e, e.filter(col("vec_id") < 10), 5)
+      }),
+      None),
+
+    // token counting (whitespace + BPE-ish)
+    "t1_token_counts" -> (
+      ((s: SparkSession, d: String) => TextStats.tokenCounts(Catalog(s, d).documents)),
+      Some(TextStats.tokenCountsOracle)),
+
+    // quality scoring
+    "t2_quality" -> (
+      ((s: SparkSession, d: String) => TextStats.qualityScore(Catalog(s, d).documents)),
+      Some(TextStats.qualityOracle)),
+
+    // marker-word language ID
+    "t3_langid" -> (
+      ((s: SparkSession, d: String) => TextStats.langId(Catalog(s, d).documents)),
+      Some(TextStats.langIdOracle)),
+
+    // multimodal payload plumbing with stubbed decode
+    "mm1_multimodal" -> (
+      ((s: SparkSession, d: String) =>
+        Multimodal.decodeFeatures(Multimodal.withPayload(Catalog(s, d).documents)).toDF()),
+      Some(Multimodal.oracle)),
+
+    // tumbling-window event aggregate
+    "e1_hourly_events" -> (
+      ((s: SparkSession, d: String) => Events.hourly(Catalog(s, d).events)),
+      Some(Events.hourlyOracle)),
+
+    // gap sessionization (lag + running sum windows)
+    "e2_sessionize" -> (
+      ((s: SparkSession, d: String) => Events.sessionize(Catalog(s, d).events, 30)),
+      Some(Events.sessionizeOracle(30)))
+  )
+}
