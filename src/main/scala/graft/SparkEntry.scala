@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry
+    graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry ++
+      graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

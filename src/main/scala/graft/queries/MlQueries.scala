@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.ml._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ML pipeline surface (SURVEY §2.10 M1-M13) as named queries.
+  *
+  * These are model fits — correctness is model-quality-within-tolerance
+  * (SURVEY §5), not SQL-reproducible, so all entries are rows-only for
+  * the driver; quantitative assertions live in the ScalaTest suite.
+  */
+object MlQueries {
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // M1-M5: assembler + scaler + KMeans auto-K by silhouette
+    "ml_kmeans_segmentation" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        SegmentationPipeline.clusterSizes(c.customer, c.orders)
+      }),
+      None),
+
+    // M6-M10: indexer/OHE/assembler/scaler/RF + AUC
+    "ml_churn_rf" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        ChurnPipeline.metrics(c.customer, c.orders, c.lineitem)
+      }),
+      None),
+
+    // M11: ALS implicit top-5
+    "ml_als_recommend" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        Recommender.topN(c.orders, c.lineitem, 5)
+      }),
+      None),
+
+    // M13/R1-R5: DataFrame FP-Growth itemsets
+    "ml_fpgrowth" -> (
+      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsets(Catalog(s, d).lineitem)),
+      None)
+  )
+}

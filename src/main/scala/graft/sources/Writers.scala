@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks (SURVEY §2.1 S4-S9, S11).
+  *
+  * Partitioned parquet mirrors the reference's hive-style layouts
+  * (`src/main/java/com/retail/ingestion/FullPreprocessingPipeline.java:175,208-211,222-225`
+  * — partitionBy week_no / income_desc / department) which is what makes
+  * later reads partition-prunable. Single-file outputs + stable rename
+  * mirror `ProductRecommendation.java:79-108` (coalesce(1), glob the
+  * part file, rename) — report-sized outputs only.
+  */
+object Writers {
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)                                 // [S4]
+
+  def partitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)           // [S5]
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)                                    // [S7]
+
+  def textLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)                                    // [S9]
+
+  /** Single part-file output renamed to a stable filename [S6+S11]. */
+  def singleCsvFile(df: DataFrame, dir: String, fileName: String): String = {
+    val spark = df.sparkSession
+    val tmp = s"$dir/_tmp_${fileName.replace('.', '_')}"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+    val dest = new Path(s"$dir/$fileName")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new Path(tmp), true)
+    dest.toString
+  }
+}
