@@ -34,4 +34,21 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.collect { case (k, (_, Some(sql))) => k -> sql }
+
+  /** Headline benchmark set: the query workload (scans, joins, aggs,
+    * windows, dedup, text, vectors, events). ML *fits* are excluded —
+    * they are iterative training jobs, not queries, and are exercised by
+    * Verify + tests.
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q2_filter_project", "q3_join_agg", "q4_derive",
+    "q5_window_first", "q6_topk", "q7_repurchase", "q8_band_join",
+    "q9_rfm", "q10_cohort_rates", "q11_dedup_keys", "q12_left_join_fill",
+    "q13_set_ops", "q14_semi_join", "q15_anti_join", "q16_null_scan",
+    "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
+    "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
+    "d4_ngram_jaccard", "d5_simhash", "d7_embedding_dups",
+    "s1_ann_brute", "s2_ann_lsh",
+    "t1_token_counts", "t2_quality", "t3_langid",
+    "e1_hourly_events", "e2_sessionize")
 }

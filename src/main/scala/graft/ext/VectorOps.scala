@@ -47,6 +47,49 @@ object VectorOps {
     dotQ(a, b).cast(DoubleType) /
       (sqrt(dotQ(a, a).cast(DoubleType)) * sqrt(dotQ(b, b).cast(DoubleType)))
 
+  /** All pairs (id_a < id_b) with quantized cosine >= threshold, via a
+    * broadcast nested-loop scan: the quantized matrix is broadcast once
+    * and each task scans its slice of rows against it in primitive long
+    * arithmetic — the block-local brute-force primitive (what an IVF cell
+    * rescore runs at scale, where "all vectors" is one cell's list, not
+    * the corpus). Identical doubles to [[cosine]]: same integer dot, same
+    * single sqrt/divide.
+    */
+  def bruteForcePairs(embeddings: org.apache.spark.sql.DataFrame,
+                      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quantized: Array[(Long, Array[Long])] = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => quant(x)).as("q"))
+      .as[(Long, Array[Long])]
+      .collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(quantized)
+    val n = quantized.length
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val m = bc.value
+        val norms = m.map { case (_, q) =>
+          var s = 0L; var d = 0
+          while (d < q.length) { s += q(d) * q(d); d += 1 }
+          math.sqrt(s.toDouble)
+        }
+        it.flatMap { ai =>
+          val i = ai.toInt
+          val (ida, qa) = m(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            val (idb, qb) = m(j)
+            var s = 0L; var d = 0
+            while (d < qa.length) { s += qa(d) * qb(d); d += 1 }
+            val cos = s.toDouble / (norms(i) * norms(j))
+            if (cos >= threshold) Some((ida, idb, cos)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   /** Shared DuckDB CTE prefix: quantized elements and norms over a 64-dim
     * `embedding` column (testdata layout). `SUM(BIGINT)` is HUGEINT in
     * DuckDB, hence the casts back to BIGINT/DOUBLE.

@@ -42,16 +42,8 @@ object ExtensionQueries {
        |  FROM scored)
        |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= 5""".stripMargin
 
-  private def embeddingDups(s: SparkSession, d: String): DataFrame = {
-    val e = Catalog(s, d).embeddings
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= 0.4)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-  }
+  private def embeddingDups(s: SparkSession, d: String): DataFrame =
+    VectorOps.bruteForcePairs(Catalog(s, d).embeddings, 0.4)
 
   private val embeddingDupsOracle: String =
     s"""WITH ${VectorOps.oracleElems},
