@@ -49,6 +49,6 @@ object SparkEntry {
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d7_embedding_dups",
     "s1_ann_brute", "s2_ann_lsh",
-    "t1_token_counts", "t2_quality", "t3_langid",
+    "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
     "e1_hourly_events", "e2_sessionize")
 }

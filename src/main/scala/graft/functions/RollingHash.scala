@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_hash(text)`: polynomial (Karp-Rabin) fingerprint
+  * `h = fold(bytes, (h * 31 + byte) mod 1e9+7)` as a native Catalyst
+  * expression with codegen.
+  *
+  * Document fingerprinting for corpus pipelines: a cheap, incremental,
+  * order-sensitive digest (unlike set-based MinHash/SimHash) — the
+  * primitive under content-defined chunking and shift-resistant dup scan.
+  * A custom expression rather than a HOF chain because the per-character
+  * fold over a lambda allocates per element; this loop runs over the
+  * UTF8String bytes in place, inside whole-stage codegen.
+  *
+  * The modulus keeps values < 2^30 so `h * 31 + b` never overflows a
+  * long. Bytes are unsigned; for ASCII text the value equals the
+  * codepoint fold (what the SQL oracle computes via `ascii`).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  val Mod = 1000000007L
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % ${Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new RollingHash(expression(c)))
+  }
+
+  /** DuckDB oracle fragment computing the identical fold via `ascii`
+    * (equal to the byte fold for ASCII corpora).
+    */
+  def oracleSql(textCol: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($textCol) + 1),
+       |        i -> CAST(ascii(substr($textCol, i, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+}

@@ -112,6 +112,19 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.qualityScore(Catalog(s, d).documents)),
       Some(TextStats.qualityOracle)),
 
+    // rolling-hash (Karp-Rabin) document fingerprints — native codegen'd
+    // Catalyst expression, SQL-replayed by the oracle via list_reduce
+    "t4_fingerprint" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).documents
+        .select(
+          col("doc_id"),
+          graft.functions.RollingHash(col("text")).as("fingerprint"),
+          graft.functions.RollingHash(substring(col("text"), 1, 64)).as("prefix_fingerprint"))),
+      Some(s"""SELECT doc_id,
+              |  ${graft.functions.RollingHash.oracleSql("text")} AS fingerprint,
+              |  ${graft.functions.RollingHash.oracleSql("substr(text, 1, 64)")} AS prefix_fingerprint
+              |FROM documents""".stripMargin)),
+
     // marker-word language ID
     "t3_langid" -> (
       ((s: SparkSession, d: String) => TextStats.langId(Catalog(s, d).documents)),

@@ -23,7 +23,34 @@ object IoQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Hive-partitioned parquet roundtrip (S5): write the derived lineitem
+    * table partitioned by week_no, read it back filtered to one week —
+    * the read plan prunes to that single partition directory (the whole
+    * point of the reference's partitioned layouts,
+    * `FullPreprocessingPipeline.java:175,208-225`). Oracle recomputes
+    * from the source table.
+    */
+  private def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val derived = graft.transform.Derive.pricing(Catalog(s, d).lineitem)
+      .select("l_orderkey", "l_linenumber", "net_price", "week_no")
+    graft.sources.Writers.partitionedParquet(derived, s"$tmp/by_week", "week_no")
+    s.read.parquet(s"$tmp/by_week")
+      .filter(col("week_no") === 52)
+      .groupBy(col("week_no"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("week_net"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q21_partitioned_roundtrip" -> (
+      (partitionedRoundtrip _),
+      Some("""SELECT CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+             |  count(*) AS n_lines,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS week_net
+             |FROM lineitem
+             |WHERE CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) = 52
+             |GROUP BY 1""".stripMargin)),
+
     "q20_csv_roundtrip" -> (
       (csvRoundtrip _),
       Some("""SELECT c_mktsegment, count(*) AS n_customers,
