@@ -18,7 +18,8 @@ object SparkEntry {
 
   private def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry ++
-      graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry
+      graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry ++
+      graft.queries.OlapQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -50,5 +51,7 @@ object SparkEntry {
     "d4_ngram_jaccard", "d5_simhash", "d7_embedding_dups",
     "s1_ann_brute", "s2_ann_lsh",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
-    "e1_hourly_events", "e2_sessionize")
+    "e1_hourly_events", "e2_sessionize",
+    "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
+    "q26_json_props")
 }

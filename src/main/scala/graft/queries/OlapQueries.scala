@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP surface beyond the reference (SURVEY §2.4 notes "no grouping
+  * sets / cube / rollup" and §2.5 a single window function — the engine
+  * exposes the full surface): multi-dimensional aggregates, analytic
+  * window frames, the SQL-text API, and semi-structured (JSON) columns.
+  */
+object OlapQueries {
+
+  /** Running/leading/lagging window frames per customer. The running sum
+    * goes through a decimal accumulator — windowed double sums are not
+    * guaranteed sequential in either engine (segment-tree evaluation), so
+    * exactness needs the associative type here too.
+    */
+  private def windowFrames(s: SparkSession, d: String): DataFrame = {
+    val o = Catalog(s, d).orders
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_spend"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      row_number().over(w).as("order_seq"))
+  }
+
+  private val windowFramesOracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+      |  CAST(row_number() OVER w AS INT) AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  /** SQL-text API parity (F4): the same star join as q3 expressed through
+    * `spark.sql` over registered temp views.
+    */
+  private def sqlApi(s: SparkSession, d: String): DataFrame = {
+    val c = Catalog(s, d)
+    c.lineitem.createOrReplaceTempView("v_lineitem")
+    c.supplier.createOrReplaceTempView("v_supplier")
+    c.nation.createOrReplaceTempView("v_nation")
+    c.region.createOrReplaceTempView("v_region")
+    s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM v_lineitem
+        |JOIN v_supplier ON l_suppkey = s_suppkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin)
+  }
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // ROLLUP with grouping_id
+    "q22_rollup" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // CUBE over two independent dimensions
+    "q23_cube" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).orders
+        .withColumn("order_year", year(col("o_orderdate")))
+        .cube(col("o_orderpriority"), col("order_year"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS order_year,
+             |  count(*) AS n,
+             |  CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))""".stripMargin)),
+
+    // analytic window frames: running sum + lag/lead
+    "q24_window_frames" -> (windowFrames _, Some(windowFramesOracle)),
+
+    // SQL-text frontend over temp views
+    "q25_sql_api" -> (sqlApi _, Some(graft.analytics.RevenueByNation.oracle("EUROPE"))),
+
+    // semi-structured JSON column extraction + aggregate
+    "q26_json_props" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_with_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+      Some("""SELECT event_type,
+             |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
