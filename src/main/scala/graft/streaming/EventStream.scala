@@ -49,6 +49,28 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Arbitrary stateful streaming (`mapGroupsWithState`): per-user running
+    * totals maintained across micro-batches — the engine's
+    * `KeyValueGroupedDataset` custom-state surface (north-star §2.11).
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run the hourly aggregate over a static directory to completion via
     * the in-memory sink; returns the result table. Used by tests to prove
     * batch/stream equivalence.
