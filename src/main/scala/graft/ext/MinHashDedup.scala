@@ -86,6 +86,7 @@ object MinHashDedup {
   def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val g = documents.select(
       col("doc_id"), sort_array(NgramJaccard.hashedNgrams(col("text"), n)).as("grams"))
+      .cache()   // joined twice (doc_a / doc_b sides)
     candidatePairs(documents, n)
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")

@@ -53,11 +53,14 @@ object NgramJaccard {
     */
   def pairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.3,
             bucketWidth: Int = 50): DataFrame = {
+    // cached: consumed by both sides of the self-join below — without a
+    // materialization point the md5+sort gram pipeline runs twice
     val g = documents.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / bucketWidth).as("len_bucket"),
       sort_array(hashedNgrams(col("text"), n)).as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      .cache()
     val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
       col("grams").as("grams_a"), col("n_grams").as("na"))
     val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),

@@ -215,6 +215,23 @@ object RelationalQueries {
              |  CAST(count(DISTINCT l_partkey) AS INT) AS n_items
              |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
 
+    // A3 — pick-one-value-per-group, deterministic: min_by with a unique
+    // ordering key (the engine's canonicalized form of the reference's
+    // order-dependent first(col, ignoreNulls),
+    // FullPreprocessingPipeline.java:195-203; SURVEY §7 hard part 4)
+    "q27_pick_per_group" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).orders
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_priority"),
+          min(col("o_orderkey")).as("first_orderkey"))),
+      Some("""SELECT o_custkey,
+             |  arg_min(o_orderpriority, o_orderkey) AS first_priority,
+             |  arg_max(o_orderpriority, o_orderkey) AS last_priority,
+             |  min(o_orderkey) AS first_orderkey
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
     // F5/F7 — string split + explode + count
     "q19_explode_tokens" -> (
       ((s: SparkSession, d: String) => Catalog(s, d).part
