@@ -32,4 +32,28 @@ object BasketItemsets {
       .select(array_join(sort_array(col("items")), ",").as("itemset"), col("freq"))
       .orderBy(col("freq").desc, col("itemset").asc)
   }
+
+  /** Frequent itemsets restricted to size <= 2 — the subset SQL can
+    * replay (singleton frequencies + co-occurrence pair counts), which
+    * turns the FP-Growth result itself into an oracle-checkable table.
+    */
+  def frequentItemsetsUpTo2(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame =
+    frequentItemsets(lineitem, minSupport)
+      .filter(size(split(col("itemset"), ",")) <= 2)
+
+  def upTo2Oracle(minSupport: Double): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+       |th AS (SELECT CAST(ceil($minSupport * n_baskets) AS BIGINT) AS min_freq FROM n),
+       |singles AS (
+       |  SELECT item AS itemset, count(*) AS freq FROM b GROUP BY item
+       |  HAVING count(*) >= (SELECT min_freq FROM th)),
+       |pairs AS (
+       |  -- itemset pieces sort as STRINGS (matching Spark's sort_array on
+       |  -- the string-typed items column)
+       |  SELECT a.item || ',' || c.item AS itemset, count(*) AS freq
+       |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+       |  GROUP BY 1 HAVING count(*) >= (SELECT min_freq FROM th))
+       |SELECT itemset, freq FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+       |ORDER BY freq DESC, itemset ASC""".stripMargin
 }

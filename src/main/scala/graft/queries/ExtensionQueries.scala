@@ -13,18 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
-  private def annBruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = Catalog(s, d).embeddings
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+  /** Exact top-k by brute force (the recall baseline for s2/s3). */
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
+  private def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog(s, d).embeddings
+    bruteTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
   private val annBruteOracle: String =
@@ -99,6 +103,14 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => {
         val e = Catalog(s, d).embeddings
         AnnLsh.topK(e, e.filter(col("vec_id") < 10), 5)
+      }),
+      None),
+
+    // IVF-cell ANN (second scale path; recall asserted in tests)
+    "s3_ann_ivf" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnIvf.topK(e, e.filter(col("vec_id") < 10), 5)
       }),
       None),
 

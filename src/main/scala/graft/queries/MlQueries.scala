@@ -41,6 +41,12 @@ object MlQueries {
     // M13/R1-R5: DataFrame FP-Growth itemsets
     "ml_fpgrowth" -> (
       ((s: SparkSession, d: String) => BasketItemsets.frequentItemsets(Catalog(s, d).lineitem)),
-      None)
+      None),
+
+    // FP-Growth restricted to size<=2 itemsets: the frequent-pattern
+    // result replayed exactly by relational SQL (oracle-checked)
+    "ml_fpgrowth_pairs" -> (
+      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsetsUpTo2(Catalog(s, d).lineitem, 0.002)),
+      Some(BasketItemsets.upTo2Oracle(0.002)))
   )
 }

@@ -31,6 +31,20 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
+  test("IVF ANN: recall@5 vs brute force is substantial; scores are exact") {
+    val e = Catalog(spark, sf).embeddings.cache()
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val ivf = AnnIvf.topK(e, q, 5)
+    val brute = graft.queries.ExtensionQueries.bruteTopK(e, q, 5)
+    val got = pairs(ivf)
+    val want = pairs(brute)
+    assert(want.nonEmpty)
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+  }
+
   test("minhash signature similarity estimates Jaccard for near-identical docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
