@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** Distinct character n-grams of a string column. */
+  /** Distinct character n-grams of a string column. Guarded for texts
+    * shorter than n: Spark's `sequence(1, 0)` counts *down* (`[1, 0]`),
+    * unlike SQL `range(1, 1)` which is empty — without the guard a
+    * too-short doc would emit bogus truncated grams.
+    */
   def charNgrams(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
 
   /** Distinct n-grams hashed to 48-bit longs (md5 hex prefix — shared
     * verbatim with the DuckDB oracle). Set ops on longs are ~10x cheaper

@@ -73,6 +73,15 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(fps.values.forall(_.length == 64))
   }
 
+  test("charNgrams: short/exact-length/empty texts are safe") {
+    val df = Seq((1L, ""), (2L, "abc"), (3L, "abcde"), (4L, "abcdef")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), NgramJaccard.charNgrams(col("text"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("abcde"))
+    assert(out(4L) == Seq("abcde", "bcdef"))
+  }
+
   test("exact dedup groups duplicates under one representative") {
     val docs = Seq((5L, "same text"), (9L, "same text"), (7L, "other")).toDF("doc_id", "text")
     val g = ExactDedup.groups(docs).collect()
