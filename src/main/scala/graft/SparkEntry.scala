@@ -49,7 +49,8 @@ object SparkEntry {
     "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d7_embedding_dups",
-    "s1_ann_brute", "s2_ann_lsh",
+    "d8_dup_clusters", "c1_corpus_pipeline",
+    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
     "e1_hourly_events", "e2_sessionize",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",

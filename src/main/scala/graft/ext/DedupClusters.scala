@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over a pair list.
+  *
+  * Pair detectors ([[MinHashDedup]], [[SimHash]], [[NgramJaccard]]) emit
+  * edges; corpus dedup needs *components* — every doc mapped to one
+  * canonical representative (min doc_id in its component), so that "keep
+  * one per cluster" is well-defined even for chains a~b~c where a and c
+  * never matched directly.
+  *
+  * Algorithm: iterative min-label propagation — each round every vertex
+  * takes the min label among itself and its neighbors; converges in
+  * O(component diameter) rounds. Each round is one join + aggregate
+  * (shuffle on doc_id); the driver only checks the converged flag — the
+  * classic Spark pattern for iterative graph algorithms (large-star /
+  * small-star is the optimization for web-scale graphs; dedup components
+  * are tiny and shallow, so plain propagation is the right tool).
+  */
+object DedupClusters {
+
+  /** (doc_id, cluster_id) for every document; cluster_id = min doc_id
+    * reachable through `pairs` (columns doc_a, doc_b).
+    */
+  def components(documents: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list, cached: reused every iteration
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("src"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster summary: one row per component with its representative and
+    * size (singletons included).
+    */
+  def clusters(documents: DataFrame, pairs: DataFrame): DataFrame =
+    components(documents, pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+
+  /** DuckDB oracle: transitive closure via recursive CTE, then min-root
+    * per doc. `pairsCtes`/`pairsSelect` supply the edge query (e.g. the
+    * MinHash verified-pairs SQL).
+    */
+  def clustersOracle(pairsWithCte: String): String =
+    s"""WITH RECURSIVE
+       |p AS ($pairsWithCte),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.root
+       |  FROM reach r JOIN e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id""".stripMargin
+}

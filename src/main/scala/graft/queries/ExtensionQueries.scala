@@ -95,6 +95,15 @@ object ExtensionQueries {
     // embedding near-dup pairs, exact-decimal cosine
     "d7_embedding_dups" -> (embeddingDups _, Some(embeddingDupsOracle)),
 
+    // near-dup clustering: connected components over minhash-verified
+    // pairs (iterative min-label propagation; recursive-CTE oracle)
+    "d8_dup_clusters" -> (
+      ((s: SparkSession, d: String) => {
+        val docs = Catalog(s, d).documents
+        DedupClusters.clusters(docs, MinHashDedup.verifiedPairs(docs, 5, 0.5))
+      }),
+      Some(DedupClusters.clustersOracle(MinHashDedup.verifiedPairsOracle(5, 0.5)))),
+
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
 
@@ -147,6 +156,11 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(Multimodal.withPayload(Catalog(s, d).documents)).toDF()),
       Some(Multimodal.oracle)),
+
+    // end-to-end corpus curation: quality x language x cluster-dedup
+    "c1_corpus_pipeline" -> (
+      ((s: SparkSession, d: String) => CorpusPipeline.curate(Catalog(s, d).documents)),
+      Some(CorpusPipeline.oracle(0.8, "en", 0.5))),
 
     // tumbling-window event aggregate
     "e1_hourly_events" -> (

@@ -82,6 +82,17 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L) == Seq("abcde", "bcdef"))
   }
 
+  test("connected components: chains collapse to one cluster under min label") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 1-2-3, pair 5-6, singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = DedupClusters.components(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(4L) == 4L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
   test("exact dedup groups duplicates under one representative") {
     val docs = Seq((5L, "same text"), (9L, "same text"), (7L, "other")).toDF("doc_id", "text")
     val g = ExactDedup.groups(docs).collect()
