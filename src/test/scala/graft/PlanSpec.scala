@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the plan *shape* is part of the
+  * engine's contract at 100 TB (SURVEY §4) — pushdown reaching the scan,
+  * dimension joins broadcasting, top-K planning as TakeOrdered, aggregates
+  * running partial+final. These fail if a refactor silently de-optimizes.
+  */
+class PlanSpec extends AnyFunSuite with SharedSpark {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: filters are pushed to the parquet scan; scan is pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters on scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      "shipdate filter not pushed")
+    // pruned read schema: no l_tax / l_returnflag etc in the scan
+    assert(!p.contains("l_tax"), "scan reads unused column l_tax")
+  }
+
+  test("q3: all dimension joins broadcast; no sort-merge join") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("q6: top-K plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-K not planned as TakeOrdered")
+  }
+
+  test("q1: hash aggregate runs partial then final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "missing partial aggregation")
+  }
+
+  test("q1: aggregation stays in whole-stage codegen (final AQE plan)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.count()   // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), "codegen disabled in agg plan")
+  }
+}
