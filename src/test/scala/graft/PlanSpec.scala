@@ -38,10 +38,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "missing partial aggregation")
   }
 
-  test("q1: aggregation stays in whole-stage codegen (final AQE plan)") {
-    val df = SparkEntry.queries("q1_agg")(spark, sf)
-    df.count()   // materialize so AQE finalizes the plan
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("*(") || p.contains("WholeStageCodegen"), "codegen disabled in agg plan")
+  test("q1: aggregation stays in whole-stage codegen") {
+    // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
+    // so assert with AQE off (codegen itself is independent of AQE)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q1_agg")(spark, sf)
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(!p.startsWith("Found 0 WholeStageCodegen"), "no codegen subtrees in agg plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
