@@ -170,6 +170,11 @@ object ExtensionQueries {
     // gap sessionization (lag + running sum windows)
     "e2_sessionize" -> (
       ((s: SparkSession, d: String) => Events.sessionize(Catalog(s, d).events, 30)),
-      Some(Events.sessionizeOracle(30)))
+      Some(Events.sessionizeOracle(30))),
+
+    // native session_window sessionization (batch/stream-identical form)
+    "e3_session_window" -> (
+      ((s: SparkSession, d: String) => Events.sessionWindows(Catalog(s, d).events, 30)),
+      Some(Events.sessionWindowsOracle(30)))
   )
 }
