@@ -24,9 +24,11 @@ object PricingSummary {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        // exact decimal product then exact decimal sum: order-independent
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        // product rounded back to scale 4 per row before the exact sum:
+        // a scale-8 sum can exceed 2^53 quanta at large SF, where the
+        // decimal->double conversion is no longer engine-identical
+        dsum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order")
@@ -38,7 +40,7 @@ object PricingSummary {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order

@@ -29,15 +29,16 @@ object RevenueByNation {
       .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+        // per-row scale-4 rounding before the sum: see PricingSummary note
+        dsum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
   def oracle(regionName: String): String =
     s"""SELECT n_name,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        |  count(*) AS n_lines
        |FROM lineitem
        |JOIN supplier ON l_suppkey = s_suppkey

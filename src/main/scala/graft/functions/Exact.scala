@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * so it scales the same way. At 100 TB the precision-18 intermediate
   * holds sums up to 10^14 at scale 4 — callers with wider domains pass
   * their own `DecimalType`.
+  *
+  * CAUTION (learned at sf0.1): the final decimal->double conversion is
+  * only engine-identical while the sum stays under 2^53 *quanta*
+  * (digits x 10^scale). Keep aggregate scale at 4 — in particular, round
+  * products (which pick up scale 8) back to scale 4 per row by passing
+  * them through [[dsum]] rather than summing the raw product. Rounding
+  * is HALF_UP in Spark and half-away in DuckDB — identical for the
+  * non-negative monetary domains used here.
   */
 object Exact {
   /** Default intermediate: values up to ~10^14 with 4 decimal places. */

@@ -52,7 +52,7 @@ object OlapQueries {
     c.region.createOrReplaceTempView("v_region")
     s.sql(
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM v_lineitem
         |JOIN v_supplier ON l_suppkey = s_suppkey
