@@ -54,5 +54,5 @@ object SparkEntry {
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
     "e1_hourly_events", "e2_sessionize",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
-    "q26_json_props")
+    "q26_json_props", "q28_percentiles", "q29_string_funcs")
 }

@@ -95,6 +95,43 @@ object OlapQueries {
     // SQL-text frontend over temp views
     "q25_sql_api" -> (sqlApi _, Some(graft.analytics.RevenueByNation.oracle("EUROPE"))),
 
+    // exact interpolated percentiles (continuous definition, identical
+    // in both engines; interpolation is two IEEE ops on exact ranks)
+    "q28_percentiles" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // string function family (F7 extension surface)
+    "q29_string_funcs" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).part
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 3).as("name_prefix"),
+          levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+      Some("""SELECT p_partkey,
+             |  lower(p_name) AS name_lower,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+             |  CAST(length(p_name) AS INT) AS name_len,
+             |  substr(p_name, 1, 3) AS name_prefix,
+             |  CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist,
+             |  p_brand || '|' || p_type AS brand_type
+             |FROM part""".stripMargin)),
+
     // semi-structured JSON column extraction + aggregate
     "q26_json_props" -> (
       ((s: SparkSession, d: String) => Catalog(s, d).events
