@@ -61,6 +61,44 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
   }
 
+  /** Frame sampling: chunk the payload into fixed-size frames and keep
+    * every `stride`-th — the access pattern of video keyframe extraction,
+    * with the same plumbing (pos-indexed explode, per-frame metadata)
+    * a real decoder stage would feed. Runs as pure column algebra:
+    * chunking is a `sequence` + `substr` transform, so it distributes
+    * with zero shuffles and scales per-row.
+    */
+  def sampleFrames(documents: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("int")
+    val framed = documents.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), nFrames - 1),
+        i => col("text").substr(i * frameBytes + 1, lit(frameBytes))
+      )).as(Seq("frame_idx", "frame")))
+    framed
+      .filter(col("frame_idx") % stride === 0)
+      .select(
+        col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        graft.functions.RollingHash(col("frame")).as("frame_hash"))
+  }
+
+  /** DuckDB's range() table function rejects correlated arguments, so the
+    * oracle cross-joins a fixed frame-index bound and filters to the
+    * per-doc frame count (bound must exceed max(n_chars)/frameBytes).
+    */
+  def sampleFramesOracle(frameBytes: Int, stride: Int, maxFrames: Int = 64): String =
+    s"""WITH framed AS (
+       |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |    substr(text, CAST(i AS INT) * $frameBytes + 1, $frameBytes) AS frame
+       |  FROM documents, range(0, $maxFrames) t(i)
+       |  WHERE i < ceil(length(text) / $frameBytes.0))
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(frame) AS INT) AS frame_len,
+       |  ${graft.functions.RollingHash.oracleSql("frame")} AS frame_hash
+       |FROM framed WHERE frame_idx % $stride = 0""".stripMargin
+
   /** Oracle for the fake-decode pipeline (the fake is arithmetic on byte
     * length + first byte, so SQL can replay it).
     */

@@ -151,6 +151,11 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.langId(Catalog(s, d).documents)),
       Some(TextStats.langIdOracle)),
 
+    // multimodal frame sampling (chunk + stride, per-frame fingerprints)
+    "mm2_frame_sample" -> (
+      ((s: SparkSession, d: String) => Multimodal.sampleFrames(Catalog(s, d).documents, 64, 4)),
+      Some(Multimodal.sampleFramesOracle(64, 4))),
+
     // multimodal payload plumbing with stubbed decode
     "mm1_multimodal" -> (
       ((s: SparkSession, d: String) =>
