@@ -56,9 +56,16 @@ object Repurchase {
       .withColumn("repurchased", when(col("n_repurchases") > 0, lit(1)).otherwise(lit(0)))
   }
 
-  /** Naive range join (reference-shaped). W in days. [J4, J5, A7] */
+  /** Naive range join (reference-shaped). W in days. [J4, J5, A7]
+    *
+    * `purchases` is deliberately NOT cached although both join sides read
+    * it: for a one-shot query the cache is a pipeline barrier whose
+    * materialization costs more than the recompute (measured 7.6s vs
+    * 3.3s at sf0.1), and Catalyst's ReusedExchange dedupes the shuffle
+    * anyway. Callers iterating on the result should cache it themselves.
+    */
   def apply(orders: DataFrame, lineitem: DataFrame, window: Int = 30): DataFrame = {
-    val p = purchases(orders, lineitem).cache()
+    val p = purchases(orders, lineitem)
     val later = p.select(
       col("custkey").as("l_custkey"), col("partkey").as("l_partkey"), col("day").as("l_day"))
     labelFromPairs(firstPurchases(p), later, window)
@@ -68,7 +75,7 @@ object Repurchase {
     * per-key fan-out at scale. Same output as [[apply]].
     */
   def bandJoin(orders: DataFrame, lineitem: DataFrame, window: Int = 30): DataFrame = {
-    val p = purchases(orders, lineitem).cache()
+    val p = purchases(orders, lineitem)
     val fp = firstPurchases(p)
     // first purchases are duplicated into their own band and the next one:
     // any later day in (first_day, first_day + W] falls in band(first_day)
