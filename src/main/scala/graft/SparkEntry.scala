@@ -48,11 +48,12 @@ object SparkEntry {
     "q13_set_ops", "q14_semi_join", "q15_anti_join", "q16_null_scan",
     "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
-    "d4_ngram_jaccard", "d5_simhash", "d7_embedding_dups",
+    "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "c1_corpus_pipeline",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
     "e1_hourly_events", "e2_sessionize",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
-    "q26_json_props", "q28_percentiles", "q29_string_funcs")
+    "q26_json_props", "q28_percentiles", "q29_string_funcs",
+    "q30_date_arith")
 }

@@ -63,6 +63,30 @@ object SimHash {
        |SELECT doc_id, $bitChars AS simhash FROM sums""".stripMargin
   }
 
+  /** DuckDB oracle for [[pairs]]: same fingerprint CTE, 4-block
+    * pigeonhole candidates, and a generated 64-term Hamming sum.
+    */
+  def pairsOracle(maxHamming: Int): String = {
+    val fpSql = fingerprintsOracle
+    val blocks = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS blk, substr(simhash, ${i * 16 + 1}, 16) AS bits FROM fp")
+      .mkString(" UNION ALL ")
+    val ham = (0 until 64)
+      .map(i => s"CASE WHEN substr(a_sh, ${i + 1}, 1) <> substr(b_sh, ${i + 1}, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH fp AS ($fpSql),
+       |blocked AS ($blocks),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id),
+       |withsh AS (
+       |  SELECT doc_a, doc_b, fa.simhash AS a_sh, fb.simhash AS b_sh
+       |  FROM cand JOIN fp fa ON doc_a = fa.doc_id JOIN fp fb ON doc_b = fb.doc_id)
+       |SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
+       |FROM withsh WHERE $ham <= $maxHamming""".stripMargin
+  }
+
   /** Near-duplicate candidates via 4x16-bit block pigeonholing + exact
     * Hamming verify (<= maxHamming).
     */

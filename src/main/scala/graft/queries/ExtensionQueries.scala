@@ -86,11 +86,10 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => SimHash.fingerprints(Catalog(s, d).documents)),
       Some(SimHash.fingerprintsOracle)),
 
-    // SimHash near-dup pairs via block pigeonhole (rows-only: candidate
-    // generation is structural; Hamming verify asserted in tests)
+    // SimHash near-dup pairs via block pigeonhole + exact Hamming verify
     "d6_simhash_pairs" -> (
       ((s: SparkSession, d: String) => SimHash.pairs(Catalog(s, d).documents, 8)),
-      None),
+      Some(SimHash.pairsOracle(8))),
 
     // embedding near-dup pairs, exact-decimal cosine
     "d7_embedding_dups" -> (embeddingDups _, Some(embeddingDupsOracle)),

@@ -132,6 +132,33 @@ object OlapQueries {
              |  p_brand || '|' || p_type AS brand_type
              |FROM part""".stripMargin)),
 
+    // date/time arithmetic family (F6 extension surface: the reference
+    // deliberately avoids date functions; the engine offers both).
+    // weekday (Mon=0) is the portable day-of-week: Spark dayofweek
+    // (Sun=1) and DuckDB dayofweek (Sun=0) disagree, isodow-1 matches.
+    "q30_date_arith" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).orders
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          weekday(col("o_orderdate")).as("dow_mon0"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since_epoch"))),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS order_date,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(quarter(o_orderdate) AS INT) AS q,
+             |  CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch
+             |FROM orders""".stripMargin)),
+
     // semi-structured JSON column extraction + aggregate
     "q26_json_props" -> (
       ((s: SparkSession, d: String) => Catalog(s, d).events
