@@ -1,14 +1,25 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
+/** Benchmark main: runs SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR,
+  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}} on
+  * System.out AND writes the same line to SPARK_GRAFT_OUT/bench.json
+  * (sbt's logger wraps stdout in [info] prefixes the driver can't parse;
+  * the file is the reliable channel).
+  *
+  * A query that throws is recorded as -1 (an explicit failure marker) so
+  * a crashing query can never masquerade as a fast successful run, and
+  * its name is listed under "errors".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "target")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,13 +35,24 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    System.out.println(line)
     spark.stop()
+    // a failed query must fail the bench run visibly, not just in JSON
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -52,8 +52,11 @@ object SparkEntry {
     "d8_dup_clusters", "c1_corpus_pipeline",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
-    "e1_hourly_events", "e2_sessionize",
+    "mm1_multimodal", "mm2_frame_sample",
+    "e1_hourly_events", "e2_sessionize", "e3_session_window",
+    "q20_csv_roundtrip", "q21_partitioned_roundtrip",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
-    "q26_json_props", "q28_percentiles", "q29_string_funcs",
-    "q30_date_arith")
+    "q26_json_props", "q27_pick_per_group", "q28_percentiles",
+    "q29_string_funcs", "q30_date_arith",
+    "ml_fpgrowth_pairs")
 }

@@ -34,10 +34,18 @@ object AnnLsh {
       (col("id") / (bits * dims)).cast("int").as("band"),
       (col("id") % (bits * dims) / dims).cast("int").as("bit"),
       (col("id") % dims).cast("int").as("dim"),
-      when(pmod(xxhash64(col("id")), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+      when(pmod(xxhash64(col("id")), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
   }
 
-  /** (vec_id, band, code) LSH codes for every vector. */
+  /** (vec_id, band, code) LSH codes for every vector.
+    *
+    * The projection sums *quantized* components (the
+    * [[VectorOps.quant]] integer grid), not raw doubles: double addition
+    * is order-dependent under partial aggregation, so a near-zero
+    * projection could flip sign (and thus the bucket code) across
+    * runs/partitionings. Integer sums are order-independent — codes are
+    * genuinely deterministic.
+    */
   def codes(embeddings: DataFrame, bands: Int, bits: Int, dims: Int): DataFrame = {
     val spark = embeddings.sparkSession
     val elems = embeddings.select(
@@ -45,9 +53,9 @@ object AnnLsh {
     elems
       .join(broadcast(planes(spark, bands, bits, dims)), "dim")
       .groupBy(col("vec_id"), col("band"), col("bit"))
-      .agg(sum(col("x") * col("sign")).as("proj"))
+      .agg(sum(VectorOps.quant(col("x")) * col("sign")).as("proj"))
       .groupBy(col("vec_id"), col("band"))
-      .agg(sum(when(col("proj") >= 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(lit(0L))).as("code"))
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L))).as("code"))
   }
 
   /** Candidate pairs (a < b) sharing any (band, code) bucket. */

@@ -51,6 +51,15 @@ object DedupClusters {
       converged = changed == 0
       iter += 1
     }
+    // silently-unconverged labels would diverge from the recursive-CTE
+    // oracle (and from the documented min-reachable-doc_id semantics)
+    // with nothing to attribute the mismatch to — fail loudly instead;
+    // maxIter bounds runaway cost, it is not an approximation knob
+    if (!converged)
+      throw new IllegalStateException(
+        s"DedupClusters.components did not converge within $maxIter iterations: " +
+          "some component's diameter exceeds maxIter; raise maxIter (labels would " +
+          "otherwise silently diverge from min-reachable-doc_id semantics)")
     labels
   }
 

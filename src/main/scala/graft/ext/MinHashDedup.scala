@@ -59,8 +59,15 @@ object MinHashDedup {
       col("doc_id"),
       concat_ws(",", (0 until numHashes).map(j => col(s"sig_$j")): _*).as("signature"))
 
-  /** LSH candidate pairs: docs sharing any band key. */
-  def candidatePairs(documents: DataFrame, n: Int = 5): DataFrame = {
+  /** LSH candidate pairs: docs sharing any band key.
+    *
+    * Stop-bucket cap: a band key shared by thousands of docs (boilerplate
+    * corpora) contributes k^2 candidate pairs and almost no dedup signal —
+    * drop buckets above the cap before self-joining, exactly as
+    * [[SimHash.pairs]] does for its block buckets (standard LSH practice;
+    * the oracle applies the identical cap).
+    */
+  def candidatePairs(documents: DataFrame, n: Int = 5, bucketCap: Int = 50): DataFrame = {
     val sigs = signatures(documents, n)
     val bandKeys = (0 until bandsCount).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
@@ -70,6 +77,9 @@ object MinHashDedup {
     // aggregate per side
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= bucketCap)
       .cache()
     banded.as("a")
       .join(banded.as("b"),
@@ -83,11 +93,12 @@ object MinHashDedup {
     * hashed shingles — oracle-shared hashing, see
     * [[NgramJaccard.hashedNgrams]]).
     */
-  def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+  def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5,
+                    bucketCap: Int = 50): DataFrame = {
     val g = documents.select(
       col("doc_id"), sort_array(NgramJaccard.hashedNgrams(col("text"), n)).as("grams"))
       .cache()   // joined twice (doc_a / doc_b sides)
-    candidatePairs(documents, n)
+    candidatePairs(documents, n, bucketCap)
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
       .withColumn("n_inter",
@@ -120,13 +131,18 @@ object MinHashDedup {
     s"WITH ${oracleSigs(n)}\nSELECT doc_id, $cols AS signature FROM sigs"
   }
 
-  def verifiedPairsOracle(n: Int, threshold: Double): String = {
+  def verifiedPairsOracle(n: Int, threshold: Double, bucketCap: Int = 50): String = {
     val bandSelects = (0 until bandsCount).map { b =>
       val key = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH ${oracleSigs(n)},
-       |banded AS ($bandSelects),
+       |banded0 AS ($bandSelects),
+       |counted AS (
+       |  SELECT doc_id, band, band_key,
+       |    count(*) OVER (PARTITION BY band, band_key) AS bucket_n
+       |  FROM banded0),
+       |banded AS (SELECT doc_id, band, band_key FROM counted WHERE bucket_n <= $bucketCap),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b

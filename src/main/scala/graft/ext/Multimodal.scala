@@ -70,12 +70,15 @@ object Multimodal {
     */
   def sampleFrames(documents: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val nFrames = ceil(length(col("text")) / lit(frameBytes.toDouble)).cast("int")
+    // empty docs: sequence(0, -1) counts DOWN in Spark ([0, -1]) and would
+    // emit a bogus frame_idx=0 row — guard with an empty array, exactly
+    // like NgramJaccard.charNgrams guards short texts
     val framed = documents.select(
       col("doc_id"),
-      posexplode(transform(
+      posexplode(when(length(col("text")) > 0, transform(
         sequence(lit(0), nFrames - 1),
         i => col("text").substr(i * frameBytes + 1, lit(frameBytes))
-      )).as(Seq("frame_idx", "frame")))
+      )).otherwise(array().cast("array<string>"))).as(Seq("frame_idx", "frame")))
     framed
       .filter(col("frame_idx") % stride === 0)
       .select(
@@ -84,16 +87,20 @@ object Multimodal {
         graft.functions.RollingHash(col("frame")).as("frame_hash"))
   }
 
-  /** DuckDB's range() table function rejects correlated arguments, so the
-    * oracle cross-joins a fixed frame-index bound and filters to the
-    * per-doc frame count (bound must exceed max(n_chars)/frameBytes).
+  /** DuckDB's range() *table* function rejects correlated arguments, but
+    * the scalar range() *list* function takes them — unnest it per doc, so
+    * the frame count is exact for any document length (no fixed bound to
+    * outgrow) and empty docs produce zero rows, matching the Spark guard.
     */
-  def sampleFramesOracle(frameBytes: Int, stride: Int, maxFrames: Int = 64): String =
-    s"""WITH framed AS (
+  def sampleFramesOracle(frameBytes: Int, stride: Int): String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, CAST(ceil(length(text) / $frameBytes.0) AS BIGINT))) AS i
+       |  FROM documents),
+       |framed AS (
        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
        |    substr(text, CAST(i AS INT) * $frameBytes + 1, $frameBytes) AS frame
-       |  FROM documents, range(0, $maxFrames) t(i)
-       |  WHERE i < ceil(length(text) / $frameBytes.0))
+       |  FROM idx)
        |SELECT doc_id, frame_idx,
        |  CAST(length(frame) AS INT) AS frame_len,
        |  ${graft.functions.RollingHash.oracleSql("frame")} AS frame_hash

@@ -24,45 +24,67 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  /** Lane width for the packed bit-count aggregate: each hex digit's
+    * 4 bits are spread into 4 lanes of 15 bits inside one long, so 16
+    * packed sums replace 64 per-bit sums. Sound while every doc has
+    * fewer than 2^15 = 32768 tokens (max packed sum ~2^60, no signed
+    * overflow in either engine); the 100-TB variant with million-token
+    * docs widens to 30-bit lanes (2 per long, 32 aggregates).
+    */
+  val laneBits = 15
+  private val laneMask = (1L << laneBits) - 1
+
+  /** Digit value v (0..15) -> its 4 bits spread to the 4 lanes. */
+  private val laneEncoding: IndexedSeq[Long] = (0 until 16).map { v =>
+    (0 until 4).map(b => ((v >> b) & 1).toLong << (laneBits * b)).sum
+  }
+
   /** (doc_id, simhash) where simhash is a 64-char '0'/'1' string,
     * bit 0 first.
     *
-    * The md5 digest and its 16 hex-digit values are materialized as
-    * columns *before* the aggregate: Catalyst does not share common
-    * subexpressions across aggregate expressions, so inlining the digest
-    * into all 64 bit-sums would evaluate md5 64x per token (measured 15s
-    * -> ~2s at sf0.1 for this change). Per-bit work is then one
-    * shift + mask.
+    * The md5 digest is materialized as a column *before* the aggregate:
+    * Catalyst does not share common subexpressions across aggregate
+    * expressions, so inlining the digest would evaluate md5 per
+    * aggregate per token (measured 15s -> ~2s at sf0.1 for hoisting it).
+    * Per-row work is then 16 lookup-array fetches (one per hex digit)
+    * and the aggregate keeps 16 packed long sums + 1 count instead of
+    * 64 bit-sums; `s_b = 2*cnt_b - n > 0  <=>  2*cnt_b > n` recovers
+    * each bit after the aggregate. Integer sums are order-independent,
+    * so the DuckDB oracle matches bit-for-bit.
     */
   def fingerprints(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .withColumn("h", md5(col("token").cast("binary")))
-    val withDigits = (0 until 16).foldLeft(toks) { (df, d) =>
-      df.withColumn(s"d_$d", conv(substring(col("h"), d + 1, 1), 16, 10).cast("int"))
+    val encArr = array(laneEncoding.map(lit): _*)
+    val withPacked = (0 until 16).foldLeft(toks) { (df, d) =>
+      df.withColumn(s"e_$d",
+        element_at(encArr, conv(substring(col("h"), d + 1, 1), 16, 10).cast("int") + 1))
     }
-    val bitSums = (0 until 64).map { b =>
-      val bit = shiftright(col(s"d_${b / 4}"), b % 4).bitwiseAND(lit(1))
-      sum(bit * 2 - 1).as(s"s_$b")
+    val aggs = count(lit(1)).as("n") +: (0 until 16).map(d => sum(col(s"e_$d")).as(s"p_$d"))
+    val sums = withPacked.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bitChars = (0 until 64).map { b =>
+      val cnt = shiftright(col(s"p_${b / 4}"), laneBits * (b % 4)).bitwiseAND(lit(laneMask))
+      when(cnt * 2 > col("n"), lit("1")).otherwise(lit("0"))
     }
-    val sums = withDigits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val bitChars = (0 until 64).map(b => when(col(s"s_$b") > 0, lit("1")).otherwise(lit("0")))
     sums.select(col("doc_id"), concat(bitChars: _*).as("simhash"))
   }
 
   def fingerprintsOracle: String = {
-    val bitSums = (0 until 64).map { b =>
-      val v = s"(instr('0123456789abcdef', substr(md5(token), ${b / 4 + 1}, 1)) - 1)"
-      s"SUM(CAST(floor($v / ${(1 << (b % 4)).toDouble}) AS INT) % 2 * 2 - 1) AS s_$b"
+    val encList = laneEncoding.mkString("[", ", ", "]")
+    val packedSums = (0 until 16).map { d =>
+      val v = s"(instr('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1)"
+      s"CAST(SUM(list_extract($encList, $v + 1)) AS BIGINT) AS p_$d"
     }.mkString(", ")
     val bitChars = (0 until 64)
-      .map(b => s"CASE WHEN s_$b > 0 THEN '1' ELSE '0' END")
+      .map(b => s"CASE WHEN ((p_${b / 4} >> ${laneBits * (b % 4)}) & $laneMask) * 2 > n THEN '1' ELSE '0' END")
       .mkString(" || ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
        |toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
-       |sums AS (SELECT doc_id, $bitSums FROM toks2 GROUP BY doc_id)
+       |sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $packedSums
+       |  FROM toks2 GROUP BY doc_id)
        |SELECT doc_id, $bitChars AS simhash FROM sums""".stripMargin
   }
 

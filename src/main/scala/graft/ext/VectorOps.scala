@@ -33,12 +33,12 @@ object VectorOps {
   /** Quantize a float/double element to the integer grid. */
   def quant(x: Column): Column = floor(x * lit(Q)).cast(LongType)
 
-  /** Exact (quantized) integer inner product of two float-array columns. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => quant(x) * quant(y)),
-      lit(0L),
-      (acc, x) => acc + x)
+  /** Exact (quantized) integer inner product of two float-array columns.
+    * A native codegen'd expression ([[graft.functions.QuantizedDot]]) —
+    * `aggregate(zip_with(...))` is CodegenFallback and interprets two
+    * lambdas per element per call, ruinous inside pairwise scoring joins.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.QuantizedDot.of(a, b)
 
   /** Cosine similarity on the quantized grid; the final sqrt/divide are
     * single IEEE double ops (deterministic).
@@ -47,13 +47,56 @@ object VectorOps {
     dotQ(a, b).cast(DoubleType) /
       (sqrt(dotQ(a, a).cast(DoubleType)) * sqrt(dotQ(b, b).cast(DoubleType)))
 
-  /** All pairs (id_a < id_b) with quantized cosine >= threshold, via a
-    * broadcast nested-loop scan: the quantized matrix is broadcast once
-    * and each task scans its slice of rows against it in primitive long
-    * arithmetic — the block-local brute-force primitive (what an IVF cell
-    * rescore runs at scale, where "all vectors" is one cell's list, not
-    * the corpus). Identical doubles to [[cosine]]: same integer dot, same
-    * single sqrt/divide.
+  /** Exact all-pairs (id_a < id_b) with quantized cosine >= threshold as a
+    * *distributed* blocked self-join — the shipped embedding-dedup plan.
+    *
+    * Every row gets block `blk = vec_id mod blocks`; block-pair bucket
+    * (i, j), i <= j, receives block i's rows on the left and block j's on
+    * the right via one `explode(sequence(...))` replication per side, so
+    * each unordered pair lands in exactly one bucket and no executor ever
+    * sees more than two blocks. Shuffle volume is `2 * blocks * n` rows of
+    * (id, embedding, norm) — never a driver collect, never a broadcast of
+    * the corpus — and the per-pair dot product is the codegen'd
+    * [[graft.functions.QuantizedDot]]. At 100 TB `blocks` scales with the
+    * cluster (work per bucket is (n/blocks)^2) while the plan stays an
+    * equi-join on (bi, bj).
+    *
+    * Exact, not approximate: identical doubles to [[cosine]] (same
+    * integer dot, same single sqrt/divide), so the all-pairs DuckDB
+    * oracle matches bit-for-bit.
+    */
+  def blockedAllPairs(embeddings: org.apache.spark.sql.DataFrame,
+                      threshold: Double, blocks: Int = 8): org.apache.spark.sql.DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"),
+      pmod(col("vec_id"), lit(blocks.toLong)).cast("int").as("blk"))
+    val a = base.withColumn("bj", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = base.withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi"), col("blk").as("bj"),
+        col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bi", "bj"))
+      // same-block buckets see both orientations (keep id_a < id_b);
+      // cross-block buckets see each pair once, possibly id-reversed
+      .filter((col("bi") < col("bj")) || (col("id_a") < col("id_b")))
+      .withColumn("cosine",
+        dotQ(col("va"), col("vb")).cast(DoubleType) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cosine"))
+  }
+
+  /** All pairs via a broadcast nested-loop scan over a driver-collected
+    * quantized matrix. TEST-ONLY rescore primitive: this is what an IVF
+    * cell rescore runs block-locally at scale (where "all vectors" is one
+    * cell's list, not the corpus) and what `ExtSpec` uses as the recall
+    * baseline — the shipped corpus-scale plan is [[blockedAllPairs]],
+    * which never collects. Identical doubles to [[cosine]]: same integer
+    * dot, same single sqrt/divide.
     */
   def bruteForcePairs(embeddings: org.apache.spark.sql.DataFrame,
                       threshold: Double): org.apache.spark.sql.DataFrame = {

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** `quantized_dot(a, b)`: exact integer inner product of two float/double
+  * array columns on the 10^7 quantization grid (see
+  * [[graft.ext.VectorOps]] for why vector math quantizes: double sums are
+  * order-dependent under partial aggregation and float->decimal rounding
+  * is engine-specific, integer grids are not).
+  *
+  * Each element maps to `(long) floor(x * 1e7)` — float widens to double
+  * exactly, the multiply and floor are single IEEE ops, so the value is
+  * bit-identical on any engine — and the products accumulate in primitive
+  * long arithmetic (|dot| <= dims * (10^7)^2 << 2^63 for unit-norm-ish
+  * embeddings).
+  *
+  * A native expression (not `aggregate(zip_with(...))`) because Spark's
+  * higher-order functions are CodegenFallback: inside a pairwise scoring
+  * join they interpret two lambdas per element per pair. `doGenCode`
+  * keeps the whole 64-element loop inside whole-stage codegen — this is
+  * the hot loop of every similarity-search rescore
+  * ([[graft.ext.AnnLsh]], [[graft.ext.AnnIvf]]) and of the exact
+  * all-pairs embedding dedup ([[graft.ext.VectorOps.blockedAllPairs]]).
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantized_dot requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var acc = 0L
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += math.floor(xv * 1e7).toLong * math.floor(yv * 1e7).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, e: Expression, idx: String): String =
+        if (elemIsFloat(e)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |long $acc = 0L;
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $xa = (long) java.lang.Math.floor((${get(a, left, i)}) * 1.0E7D);
+         |  final long $xb = (long) java.lang.Math.floor((${get(b, right, i)}) * 1.0E7D);
+         |  $acc += $xa * $xb;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  /** Column-API entry point (Spark 4 classic Column<->Expression bridge). */
+  def of(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(QuantizedDot(expression(a), expression(b)))
+  }
+}

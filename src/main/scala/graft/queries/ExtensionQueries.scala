@@ -47,7 +47,7 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= 5""".stripMargin
 
   private def embeddingDups(s: SparkSession, d: String): DataFrame =
-    VectorOps.bruteForcePairs(Catalog(s, d).embeddings, 0.4)
+    VectorOps.blockedAllPairs(Catalog(s, d).embeddings, 0.4)
 
   private val embeddingDupsOracle: String =
     s"""WITH ${VectorOps.oracleElems},
