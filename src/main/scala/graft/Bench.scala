@@ -14,12 +14,20 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is recorded as -1 (an explicit failure marker) so
   * a crashing query can never masquerade as a fast successful run, and
   * its name is listed under "errors".
+  *
+  * Timing is min-of-N (SPARK_GRAFT_RUNS, default 2): single-run timings
+  * in a shared JVM moved ±40% round-over-round with no code change, so
+  * one extra run per query separates signal from JIT/GC noise while
+  * keeping the wall clock bounded. SPARK_GRAFT_ONLY=a,b,c restricts the
+  * set (dev loop for profiling individual queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "target")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,14 +40,18 @@ object Bench {
     // warm the JVM + file cache once with a trivial scan so the first
     // measured query doesn't pay session bring-up
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.benchQueries.map { name =>
+    val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val ok = secs.forall(_._2)
+      (name, if (ok) secs.map(_._1).min else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

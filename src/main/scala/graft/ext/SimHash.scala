@@ -30,9 +30,17 @@ object SimHash {
     * fewer than 2^15 = 32768 tokens (max packed sum ~2^60, no signed
     * overflow in either engine); the 100-TB variant with million-token
     * docs widens to 30-bit lanes (2 per long, 32 aggregates).
+    *
+    * The precondition is ENFORCED, not just documented: a doc at or above
+    * 2^15 tokens would carry per-bit counts into the adjacent lane and —
+    * because the oracle replays the identical packed arithmetic — corrupt
+    * fingerprints invisibly to the parity check. Both engines raise an
+    * error on such a doc ([[fingerprints]] via `raise_error`, the oracle
+    * via DuckDB `error()`).
     */
   val laneBits = 15
   private val laneMask = (1L << laneBits) - 1
+  private val maxTokens = 1L << laneBits
 
   /** Digit value v (0..15) -> its 4 bits spread to the 4 lanes. */
   private val laneEncoding: IndexedSeq[Long] = (0 until 16).map { v =>
@@ -68,7 +76,13 @@ object SimHash {
       val cnt = shiftright(col(s"p_${b / 4}"), laneBits * (b % 4)).bitwiseAND(lit(laneMask))
       when(cnt * 2 > col("n"), lit("1")).otherwise(lit("0"))
     }
-    sums.select(col("doc_id"), concat(bitChars: _*).as("simhash"))
+    val guarded = when(col("n") >= lit(maxTokens),
+      raise_error(concat(
+        lit("simhash lane overflow: doc "), col("doc_id").cast("string"),
+        lit(" has "), col("n").cast("string"),
+        lit(s" tokens (limit ${maxTokens - 1}); widen laneBits"))).cast("string"))
+      .otherwise(concat(bitChars: _*))
+    sums.select(col("doc_id"), guarded.as("simhash"))
   }
 
   def fingerprintsOracle: String = {
@@ -85,7 +99,11 @@ object SimHash {
        |toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
        |sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $packedSums
        |  FROM toks2 GROUP BY doc_id)
-       |SELECT doc_id, $bitChars AS simhash FROM sums""".stripMargin
+       |SELECT doc_id,
+       |  CASE WHEN n >= $maxTokens
+       |       THEN error('simhash lane overflow: doc ' || doc_id || ' has ' || n || ' tokens')
+       |       ELSE $bitChars END AS simhash
+       |FROM sums""".stripMargin
   }
 
   /** DuckDB oracle for [[pairs]]: same fingerprint CTE, 4-block

@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object VectorOps {
 
-  /** Quantization grid: 10^7 steps per unit. */
-  val Q = 1e7
+  /** Quantization grid: 10^7 steps per unit (defined once in
+    * [[graft.functions.QuantizedDot.Grid]], aliased here).
+    */
+  val Q: Double = graft.functions.QuantizedDot.Grid
 
   /** Quantize a float/double element to the integer grid. */
   def quant(x: Column): Column = floor(x * lit(Q)).cast(LongType)

@@ -46,16 +46,28 @@ case class QuantizedDot(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Dimension mismatch and null elements THROW (identically on the
+    * interpreted and codegen paths): a truncated-to-min partial dot or a
+    * null-skipping sum would be a plausible-but-wrong similarity that
+    * hides dims bugs; parquet array columns carry containsNull=true even
+    * when no data is null, so this is enforced at runtime, not in
+    * checkInputDataTypes.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"quantized_dot: dimension mismatch ($n vs ${y.numElements()})")
     var i = 0; var acc = 0L
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(s"quantized_dot: null element at index $i")
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += math.floor(xv * 1e7).toLong * math.floor(yv * 1e7).toLong
+      acc += math.floor(xv * QuantizedDot.Grid).toLong * math.floor(yv * QuantizedDot.Grid).toLong
       i += 1
     }
     acc
@@ -70,10 +82,17 @@ case class QuantizedDot(left: Expression, right: Expression)
         if (elemIsFloat(e)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |long $acc = 0L;
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "quantized_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $xa = (long) java.lang.Math.floor((${get(a, left, i)}) * 1.0E7D);
-         |  final long $xb = (long) java.lang.Math.floor((${get(b, right, i)}) * 1.0E7D);
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException("quantized_dot: null element at index " + $i);
+         |  }
+         |  final long $xa = (long) java.lang.Math.floor((${get(a, left, i)}) * ${QuantizedDot.Grid}D);
+         |  final long $xb = (long) java.lang.Math.floor((${get(b, right, i)}) * ${QuantizedDot.Grid}D);
          |  $acc += $xa * $xb;
          |}
          |${ev.value} = $acc;
@@ -85,6 +104,13 @@ case class QuantizedDot(left: Expression, right: Expression)
 }
 
 object QuantizedDot {
+  /** THE canonical quantization grid (10^7 steps per unit) — every
+    * quantized-vector computation ([[graft.ext.VectorOps.Q]], the DuckDB
+    * oracles' `floor(x * 10000000)`, and this expression's codegen) derives
+    * from this one constant so they cannot silently diverge.
+    */
+  val Grid: Double = 1e7
+
   /** Column-API entry point (Spark 4 classic Column<->Expression bridge). */
   def of(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
