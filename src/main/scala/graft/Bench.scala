@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   * Timing is min-of-N (SPARK_GRAFT_RUNS, default 2): single-run timings
   * in a shared JVM moved ±40% round-over-round with no code change, so
   * one extra run per query separates signal from JIT/GC noise while
-  * keeping the wall clock bounded. SPARK_GRAFT_ONLY=a,b,c restricts the
-  * set (dev loop for profiling individual queries).
+  * keeping the wall clock bounded. The cache is cleared before EVERY
+  * timed run: several queries `.cache()` an intermediate frame, and
+  * without the clear, run 2 of an identical plan is served from run 1's
+  * cache by Spark's CacheManager — the min would then report a warm-cache
+  * read, not the query (r3 reported d3 at 1.8s vs 10.2s cold).
+  * SPARK_GRAFT_ONLY=a,b,c restricts the set (dev loop for profiling
+  * individual queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,6 +49,9 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val secs = (1 to runs).map { _ =>
+        // drop every cached plan from prior runs/queries so each timing
+        // is a cold run of the full plan (not a CacheManager hit)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

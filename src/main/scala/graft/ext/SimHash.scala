@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale: one explode + one 64-column aggregate per doc; the shuffle
   * carries (doc_id, 64 small ints). Hamming-bucket pairing (split the
-  * fingerprint into 4 x 16-bit blocks; near-dups within Hamming<=3 share
-  * at least one exact block — pigeonhole) makes pair generation an
-  * equi-join, as with MinHash banding.
+  * fingerprint into B = maxHamming+1 near-even blocks; a pair within
+  * Hamming <= maxHamming differs in at most maxHamming blocks, so by
+  * pigeonhole it shares at least one exact block) makes pair generation
+  * an equi-join, as with MinHash banding.
   */
 object SimHash {
 
@@ -106,13 +107,31 @@ object SimHash {
        |FROM sums""".stripMargin
   }
 
-  /** DuckDB oracle for [[pairs]]: same fingerprint CTE, 4-block
+  /** Block layout for a given maxHamming: B = maxHamming+1 blocks of
+    * near-even widths covering all 64 bits ((offset, width) pairs). The
+    * pigeonhole recall guarantee holds exactly when the block count
+    * exceeds the Hamming budget, so the layout is DERIVED from
+    * maxHamming rather than fixed — `pairs(_, 8)` really does guarantee
+    * candidate recall to Hamming 8 (9 blocks), where a fixed 4-block
+    * scheme would silently miss pairs with 4..8 diffs spread across all
+    * four blocks.
+    */
+  private[graft] def blockLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val b = maxHamming + 1
+    require(b >= 1 && b <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    val widths = (0 until b).map(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** DuckDB oracle for [[pairs]]: same fingerprint CTE, B-block
     * pigeonhole candidates, and a generated 64-term Hamming sum.
     */
   def pairsOracle(maxHamming: Int, bucketCap: Int = 50): String = {
     val fpSql = fingerprintsOracle
-    val blocks = (0 until 4)
-      .map(i => s"SELECT doc_id, $i AS blk, substr(simhash, ${i * 16 + 1}, 16) AS bits FROM fp")
+    val blocks = blockLayout(maxHamming).zipWithIndex
+      .map { case ((off, w), i) =>
+        s"SELECT doc_id, $i AS blk, substr(simhash, ${off + 1}, $w) AS bits FROM fp"
+      }
       .mkString(" UNION ALL ")
     val ham = (0 until 64)
       .map(i => s"CASE WHEN substr(a_sh, ${i + 1}, 1) <> substr(b_sh, ${i + 1}, 1) THEN 1 ELSE 0 END")
@@ -135,28 +154,35 @@ object SimHash {
        |FROM withsh WHERE $ham <= $maxHamming""".stripMargin
   }
 
-  /** The fingerprint as four 16-bit integer blocks (for cheap pairwise
-    * Hamming: `bit_count(xor)` per block instead of 64 char compares).
+  /** One fingerprint block as an integer (for cheap pairwise Hamming:
+    * `bit_count(xor)` per block instead of 64 char compares).
     */
-  private def blockInt(i: Int) =
-    (0 until 16).map { b =>
-      when(substring(col("simhash"), i * 16 + b + 1, 1) === "1", lit(1L << b)).otherwise(lit(0L))
+  private def blockInt(offset: Int, width: Int) =
+    (0 until width).map { b =>
+      when(substring(col("simhash"), offset + b + 1, 1) === "1", lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Near-duplicate candidates via 4x16-bit block pigeonholing + exact
-    * Hamming verify (<= maxHamming).
+  /** Near-duplicate candidates via (maxHamming+1)-block pigeonholing +
+    * exact Hamming verify (<= maxHamming); layout from [[blockLayout]].
     *
     * Block values are materialized as integers once per doc (cached —
     * the frame self-joins, and the word-salad corpus makes block buckets
     * hot, so candidate pairs number in the millions); the per-pair cost
-    * is then 4x `bit_count(xor)` rather than 64 substring compares.
+    * is then B x `bit_count(xor)` rather than 64 substring compares.
+    * Narrower blocks (larger maxHamming) mean hotter buckets; the
+    * stop-bucket cap below bounds the blow-up, at a documented recall
+    * cost applied identically in the oracle.
     */
   def pairs(documents: DataFrame, maxHamming: Int = 3, bucketCap: Int = 50): DataFrame = {
+    val layout = blockLayout(maxHamming)
+    val nBlocks = layout.size
     val fpInts = fingerprints(documents)
-      .select(col("doc_id") +: (0 until 4).map(i => blockInt(i).as(s"blk_$i")): _*)
+      .select(col("doc_id") +: layout.zipWithIndex.map {
+        case ((off, w), i) => blockInt(off, w).as(s"blk_$i")
+      }: _*)
       .cache()
     val blocked = fpInts.select(
-      col("doc_id"), posexplode(array((0 until 4).map(i => col(s"blk_$i")): _*))
+      col("doc_id"), posexplode(array((0 until nBlocks).map(i => col(s"blk_$i")): _*))
         .as(Seq("block", "block_val")))
     // stop-bucket cap: a block value shared by thousands of docs (heavy
     // shared vocabulary) contributes k^2 candidate pairs and almost no
@@ -173,9 +199,9 @@ object SimHash {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val withInts = cand
-      .join(fpInts.toDF("doc_a" +: (0 until 4).map(i => s"a_$i"): _*), "doc_a")
-      .join(fpInts.toDF("doc_b" +: (0 until 4).map(i => s"b_$i"): _*), "doc_b")
-    val hamming = (0 until 4)
+      .join(fpInts.toDF("doc_a" +: (0 until nBlocks).map(i => s"a_$i"): _*), "doc_a")
+      .join(fpInts.toDF("doc_b" +: (0 until nBlocks).map(i => s"b_$i"): _*), "doc_b")
+    val hamming = (0 until nBlocks)
       .map(i => bit_count(col(s"a_$i").bitwiseXOR(col(s"b_$i"))))
       .reduce(_ + _)
     withInts.withColumn("hamming", hamming)

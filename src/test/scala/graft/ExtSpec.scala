@@ -73,6 +73,37 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(fps.values.forall(_.length == 64))
   }
 
+  test("simhash blockLayout: maxHamming+1 blocks tile all 64 bits") {
+    for (h <- Seq(0, 3, 8, 15, 63)) {
+      val layout = SimHash.blockLayout(h)
+      assert(layout.size == h + 1)
+      assert(layout.map(_._2).sum == 64)
+      assert(layout.forall(_._2 >= 1))
+      // contiguous, non-overlapping tiling
+      assert(layout.scanLeft(0)((acc, b) => acc + b._2).init == layout.map(_._1))
+    }
+  }
+
+  test("simhash pairs: pigeonhole recall is exhaustive to maxHamming=8 (vs brute force)") {
+    val docs = Catalog(spark, sf).documents
+    // uncapped: pure pigeonhole — every pair with Hamming <= 8 MUST appear
+    val got = SimHash.pairs(docs, maxHamming = 8, bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = SimHash.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val want = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      h = fps(i)._2.zip(fps(j)._2).count { case (x, y) => x != y }
+      if h <= 8
+    } yield (fps(i)._1, fps(j)._1, h)).toSet
+    assert(got == want, s"pigeonhole missed ${(want -- got).size} pairs / invented ${(got -- want).size}")
+    // the old fixed-4-block scheme only guaranteed Hamming <= 3; the B=9
+    // layout must also be exhaustive in the 4..8 band when such pairs exist
+    val deep = want.filter(_._3 > 3)
+    assert(deep.subsetOf(got))
+  }
+
   test("charNgrams: short/exact-length/empty texts are safe") {
     val df = Seq((1L, ""), (2L, "abc"), (3L, "abcde"), (4L, "abcdef")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), NgramJaccard.charNgrams(col("text"), 5).as("g"))
