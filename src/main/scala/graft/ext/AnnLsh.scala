@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Approximate nearest neighbors via random-hyperplane (sign) LSH.
   *
@@ -13,28 +14,39 @@ import org.apache.spark.sql.functions._
   * turning ANN into an equi-join + a rescore of only the buckets. Recall
   * is tuned by the number of independent bands.
   *
-  * The hyperplanes are not stored: component (band, bit, dim) is
-  * `xxhash64(band, bit, dim) mod 2 -> +-1`, so codes are deterministic
-  * with no model state. Code computation is *relational* — explode the
-  * vector, equi-join a broadcast planes table, two partial-aggregates —
-  * rather than one giant per-row expression (which would blow codegen at
-  * 64 dims x bits x bands) ... and the same shape distributes: the heavy
-  * side only shuffles (vec_id, band, bit) partial sums.
+  * The hyperplanes are not stored: component (band, bit, dim) is derived
+  * from the parity of the first hex digit of `md5(plane_id)` — the same
+  * scheme the MinHash family uses, because DuckDB can replay it: the
+  * whole LSH pipeline (codes, buckets, rescore, top-k) is SQL-expressible
+  * and [[topKOracle]] generates that SQL, making `s2_ann_lsh` a
+  * hash-gated query rather than a rows-only one. (xxhash64 is the
+  * production drop-in where oracle parity is not needed.) Code
+  * computation is *relational* — explode the vector, equi-join a
+  * broadcast planes table, two partial-aggregates — rather than one giant
+  * per-row expression (which would blow codegen at 64 dims x bits x
+  * bands) ... and the same shape distributes: the heavy side only
+  * shuffles (vec_id, band, bit) partial sums.
   *
-  * Candidates are rescored with [[VectorOps.cosine]] (exact quantized
-  * arithmetic); the recall-vs-brute-force contract is asserted in tests.
+  * Candidates are rescored with the exact quantized dot; per-vector norms
+  * are computed ONCE (per-vector invariant) and carried through the
+  * candidate joins, never re-derived per candidate pair.
   */
 object AnnLsh {
 
-  /** Broadcast-sized table of hyperplane components: (band, bit, dim, sign). */
+  /** Broadcast-sized table of hyperplane components: (band, bit, dim, sign).
+    *
+    * `sign(id) = +1` iff the first hex digit of md5(id-as-string) is
+    * even — bit-identical in Spark and DuckDB (md5 of the UTF-8 decimal
+    * string, same hex-digit arithmetic as [[SimHash]]).
+    */
   def planes(spark: SparkSession, bands: Int, bits: Int, dims: Int): DataFrame = {
-    import spark.implicits._
     val n = bands.toLong * bits * dims
     spark.range(n).select(
       (col("id") / (bits * dims)).cast("int").as("band"),
       (col("id") % (bits * dims) / dims).cast("int").as("bit"),
       (col("id") % dims).cast("int").as("dim"),
-      when(pmod(xxhash64(col("id")), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
+      when(pmod(conv(substring(md5(col("id").cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("int"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
   }
 
   /** (vec_id, band, code) LSH codes for every vector.
@@ -78,14 +90,84 @@ object AnnLsh {
     val pairs = candidatePairs(embeddings, bands, bits)
     val sym = pairs.select(col("id_a").as("qid"), col("id_b").as("cid"))
       .union(pairs.select(col("id_b").as("qid"), col("id_a").as("cid")))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // norms computed once per vector in the projection, carried through
+    // the joins (per-pair dotQ(v,v) re-derivation is 2x the rescore cost)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("cn"))
     val scored = sym.join(q, "qid").join(c, "cid")
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
   }
+
+  /** DuckDB CTE block replaying [[codes]]: planes from md5 parity, the
+    * same integer-grid projections, the same band/bit/dim derivation
+    * (explicit floor — DuckDB CAST rounds where Spark's truncates).
+    * Emits CTEs `planes`, `proj`, `codes`; expects `el` (from
+    * [[VectorOps.oracleElems]]) in scope.
+    */
+  def codesOracleCtes(bands: Int, bits: Int, dims: Int): String = {
+    val n = bands.toLong * bits * dims
+    s"""planes AS (
+       |  SELECT CAST(floor(t.i / ${bits * dims}) AS INT) AS band,
+       |         CAST(floor((t.i % ${bits * dims}) / $dims) AS INT) AS bit,
+       |         CAST(t.i % $dims AS INT) AS dim,
+       |         CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(t.i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+       |              THEN 1 ELSE -1 END AS sign
+       |  FROM range(0, $n) t(i)),
+       |proj AS (
+       |  SELECT el.vec_id, p.band, p.bit, CAST(SUM(el.x * p.sign) AS BIGINT) AS proj
+       |  FROM el JOIN planes p ON p.dim = el.i - 1
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, band,
+       |         CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS code
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** CTE chain replaying the whole [[topK]] pipeline (buckets, exact
+    * rescore, deterministic rank), ending in
+    * `lsh(qid, cid, cosine, rank)`. Expects `el`/`norms` in scope;
+    * shared by [[topKOracle]] and the s4 recall oracle.
+    */
+  def lshCtes(k: Int, maxQid: Long, bands: Int = 8, bits: Int = 12): String =
+    s"""${codesOracleCtes(bands, bits, dims = 64)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM codes a JOIN codes b
+       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT id_a AS qid, id_b AS cid FROM cand
+       |  UNION ALL
+       |  SELECT id_b AS qid, id_a AS cid FROM cand),
+       |qcand AS (SELECT qid, cid FROM sym WHERE qid < $maxQid),
+       |ldots AS (
+       |  SELECT q.qid, q.cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM qcand q
+       |  JOIN el a ON a.vec_id = q.qid
+       |  JOIN el b ON b.vec_id = q.cid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |lscored AS (
+       |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM ldots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |lranked AS (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM lscored),
+       |lsh AS (SELECT qid, cid, cosine, rank FROM lranked WHERE rank <= $k)""".stripMargin
+
+  /** Full DuckDB oracle for [[topK]] over the `embeddings` table with
+    * queries `vec_id < maxQid` — the SQL twin of the registered
+    * `s2_ann_lsh`.
+    */
+  def topKOracle(k: Int, maxQid: Long, bands: Int = 8, bits: Int = 12): String =
+    s"""WITH ${VectorOps.oracleElems},
+       |${lshCtes(k, maxQid, bands, bits)}
+       |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM lsh""".stripMargin
 }

@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
-  /** Exact top-k by brute force (the recall baseline for s2/s3). */
+  /** Exact top-k by brute force (the recall baseline for s2/s3/s4).
+    * Per-vector norms are computed once in each side's projection and
+    * carried through the join — identical doubles to [[VectorOps.cosine]]
+    * (same integer dot, same single sqrt/divide), half the dot products.
+    */
   def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    import org.apache.spark.sql.types.DoubleType
+    def withNorm(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col("vec_id").as(id), col("embedding").as(v),
+        sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as(n))
+    val q = withNorm(queries, "qid", "qv", "qn")
+    val c = withNorm(embeddings, "cid", "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,6 +54,43 @@ object ExtensionQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
        |  FROM scored)
        |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** recall@5 of the LSH scale path against brute force, per query:
+    * the honesty gate for approximate search. Both the approximate and
+    * exact pipelines are SQL-replayable (md5-parity hyperplanes), so the
+    * oracle checks the recall COMPUTATION bit-for-bit rather than
+    * asserting a threshold; the threshold lives in ExtSpec.
+    */
+  private def annLshRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Catalog(s, d).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val brute = bruteTopK(e, q, 5).select(col("qid"), col("cid"))
+    val lsh = AnnLsh.topK(e, q, 5).select(col("qid"), col("cid"), lit(1L).as("hit"))
+    brute.join(lsh, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg((coalesce(sum(col("hit")), lit(0L)).cast(DoubleType) / lit(5)).as("recall"))
+  }
+
+  private val annLshRecallOracle: String =
+    s"""WITH ${VectorOps.oracleElems},
+       |${AnnLsh.lshCtes(5, 10)},
+       |bdots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |bscored AS (
+       |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM bdots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |branked AS (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM bscored),
+       |brute AS (SELECT qid, cid FROM branked WHERE rank <= 5)
+       |SELECT b.qid,
+       |  CAST(SUM(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
+       |FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.cid = l.cid
+       |GROUP BY b.qid""".stripMargin
 
   private def embeddingDups(s: SparkSession, d: String): DataFrame =
     VectorOps.blockedAllPairs(Catalog(s, d).embeddings, 0.4)
@@ -106,21 +152,27 @@ object ExtensionQueries {
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
 
-    // sign-LSH bucketed ANN (scale path; recall asserted in tests)
+    // sign-LSH bucketed ANN (scale path) — fully SQL-replayable since the
+    // hyperplanes derive from md5 parity, so it is hash-gated end to end
     "s2_ann_lsh" -> (
       ((s: SparkSession, d: String) => {
         val e = Catalog(s, d).embeddings
         AnnLsh.topK(e, e.filter(col("vec_id") < 10), 5)
       }),
-      None),
+      Some(AnnLsh.topKOracle(5, 10))),
 
-    // IVF-cell ANN (second scale path; recall asserted in tests)
+    // IVF-cell ANN (second scale path). Rows-only BY NECESSITY: the cell
+    // centroids come from an iterative k-means fit, which ANSI SQL cannot
+    // replay; recall-vs-brute is asserted in ExtSpec instead.
     "s3_ann_ivf" -> (
       ((s: SparkSession, d: String) => {
         val e = Catalog(s, d).embeddings
         AnnIvf.topK(e, e.filter(col("vec_id") < 10), 5)
       }),
       None),
+
+    // recall@5 of LSH vs brute force, per query, both sides SQL-replayed
+    "s4_ann_recall" -> (annLshRecall _, Some(annLshRecallOracle)),
 
     // token counting (whitespace + BPE-ish)
     "t1_token_counts" -> (

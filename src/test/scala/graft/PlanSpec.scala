@@ -38,6 +38,15 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "missing partial aggregation")
   }
 
+  test("IVF assign: one narrow projection — no exchange, no join, no window") {
+    val e = graft.core.Catalog(spark, sf).embeddings
+    val cents = graft.ext.AnnIvf.centroids(e, nCells = 4)
+    val p = graft.ext.AnnIvf.assign(e, cents).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assign stage shuffles:\n$p")
+    assert(!p.contains("Join"), s"assign stage joins:\n$p")
+    assert(!p.contains("Window"), s"assign stage uses a window:\n$p")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)
