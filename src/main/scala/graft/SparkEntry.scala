@@ -19,7 +19,7 @@ object SparkEntry {
   private def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry ++
       graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry ++
-      graft.queries.OlapQueries.registry
+      graft.queries.OlapQueries.registry ++ graft.queries.EtlQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -58,5 +58,6 @@ object SparkEntry {
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
+    "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
     "ml_fpgrowth_pairs")
 }

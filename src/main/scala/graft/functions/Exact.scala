@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Bit-exact floating aggregate helpers.
   *
@@ -49,4 +49,20 @@ object Exact {
     * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)`.
     */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  /** Order-independent average for ARBITRARY doubles (division results
+    * etc.) via the integer grid: `floor(x * grid)` is one IEEE multiply
+    * plus an exact floor — bit-identical in any engine — so the sum is
+    * an exact long. Needed because [[dec]]'s double→decimal rounding is
+    * NOT engine-identical on arbitrary values: Spark routes through the
+    * shortest decimal representation (`BigDecimal.valueOf`) while DuckDB
+    * rounds the exact binary value, so a double that prints as a tie
+    * (…x5) can round apart (observed on `extendedprice/quantity` at
+    * sf0.01). Monetary inputs with ≤2 real decimals are safe with
+    * [[dec]]; anything computed by division is not. Oracle form:
+    * `CAST(SUM(CAST(floor(x * grid) AS BIGINT)) AS DOUBLE) / (grid * COUNT(x))`.
+    */
+  def qavg(c: Column, grid: Long = 10000L): Column =
+    sum(floor(c * lit(grid.toDouble)).cast(LongType)).cast(DoubleType) /
+      (lit(grid) * count(c))
 }

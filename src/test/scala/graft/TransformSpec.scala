@@ -1,11 +1,51 @@
 package graft
 
-import graft.transform.{Cleaning, Dedup, Derive}
+import graft.transform.{Cleaning, Dedup, Derive, SchemaCompat}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TransformSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
+
+  test("SchemaCompat: case-insensitive resolve, probe order, intersection") {
+    val df = Seq((1L, 10L, "a")).toDF("Basket_ID", "product_id_y", "Age_Desc")
+    assert(SchemaCompat.resolve(df, "basket_id").contains("Basket_ID"))
+    assert(SchemaCompat.resolve(df, "nope").isEmpty)
+    // probe returns the first candidate present, under its actual spelling
+    assert(SchemaCompat.probe(df, SchemaCompat.productIdCandidates).contains("product_id_y"))
+    val probed = Seq((1L, 2L)).toDF("product_id_x", "product_id_y")
+    assert(SchemaCompat.probe(probed, SchemaCompat.productIdCandidates).contains("product_id_x"))
+    // intersection keeps request order, actual spellings, drops absentees
+    assert(SchemaCompat.intersect(df, Seq("age_desc", "income_desc", "basket_id")) ==
+      Seq("Age_Desc", "Basket_ID"))
+    // loud failure lists the observed schema
+    val e = intercept[IllegalArgumentException](SchemaCompat.probeOrThrow(df, Seq("x", "y")))
+    assert(e.getMessage.contains("Basket_ID"))
+  }
+
+  test("SchemaCompat.ensureWeekNo: derives only when absent; day defaults to 1") {
+    // day present, week_no absent -> ceil(day/7)
+    val d1 = SchemaCompat.ensureWeekNo(Seq((1, 13), (2, 14), (3, 15)).toDF("id", "day"))
+    assert(d1.select("id", "week_no").as[(Int, Long)].collect().sorted.toSeq ==
+      Seq((1, 2L), (2, 2L), (3, 3L)))
+    // both absent -> day=1, week_no=1
+    val d2 = SchemaCompat.ensureWeekNo(Seq(Tuple1(9)).toDF("id"))
+    assert(d2.select("day", "week_no").as[(Int, Long)].collect().toSeq == Seq((1, 1L)))
+    // week_no already present (any case) -> untouched, no day added
+    val d3 = SchemaCompat.ensureWeekNo(Seq((9, 42L)).toDF("id", "Week_No"))
+    assert(d3.columns.toSeq == Seq("id", "Week_No", "day"))
+    assert(d3.select("Week_No").as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("SchemaCompat.writePartitionedIfPresent: partitions only when the column exists") {
+    val dir = java.nio.file.Files.createTempDirectory("schemacompat").toString
+    val df = Seq((1L, "A"), (2L, "B")).toDF("k", "dept")
+    SchemaCompat.writePartitionedIfPresent(df, s"$dir/p", "department")
+    assert(!new java.io.File(s"$dir/p").listFiles().exists(_.getName.startsWith("dept")))
+    SchemaCompat.writePartitionedIfPresent(df, s"$dir/q", "DEPT")
+    assert(new java.io.File(s"$dir/q").listFiles().exists(_.getName.startsWith("dept=")))
+    assert(spark.read.parquet(s"$dir/q").count() == 2)
+  }
 
   test("Derive.pricing: guarded division and flags") {
     val li = Seq(
