@@ -59,5 +59,6 @@ object SparkEntry {
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
+    "q35_coupon_flag",
     "ml_fpgrowth_pairs")
 }

@@ -243,6 +243,63 @@ object RelationalQueries {
       Some("""SELECT token, count(*) AS n FROM (
              |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
              |WHERE length(token) > 0
-             |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin))
+             |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // J3 two-key equi left join + UNKNOWN-sentinel flag semantics — the
+    // churn job's coupon-day pattern (distinct (household, day) event
+    // days LEFT JOINed back on BOTH keys to flag the matching rows,
+    // /root/reference/src/main/java/com/retail/ml/ChurnPrediction.java:91-117)
+    // composed with the sentinel interplay of
+    // FullPreprocessingPipeline.java:121-134: a filled 'UNKNOWN' must be
+    // treated as missing by the downstream flag, not as a real value.
+    // Here: promo-part purchase days flag orders; customers with
+    // non-positive balance are un-enrolled -> segment 'UNKNOWN',
+    // campaign_flag 0.
+    "q35_coupon_flag" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        val day = graft.transform.Derive.dayIndex(col("o_orderdate")).cast("int")
+        val od = c.orders.select(col("o_orderkey"), col("o_custkey"), day.as("day"))
+        // distinct event days: (household, day) of any PROMO-part purchase
+        val promoDays = c.lineitem
+          .join(broadcast(c.part.filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(c.orders.select(col("o_orderkey").as("po_orderkey"),
+            col("o_custkey").as("cd_custkey"), day.as("coupon_day")),
+            col("l_orderkey") === col("po_orderkey"))
+          .select(col("cd_custkey"), col("coupon_day"))
+          .distinct()
+        val enrolled = c.customer.filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        od
+          .join(promoDays,
+            col("o_custkey") === col("cd_custkey") && col("day") === col("coupon_day"), "left")
+          .join(broadcast(enrolled), col("o_custkey") === col("c_custkey"), "left")
+          .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("day"),
+            when(col("coupon_day").isNotNull, lit(1)).otherwise(lit(0)).as("coupon_flag"),
+            col("segment"),
+            when(col("segment") =!= "UNKNOWN", lit(1)).otherwise(lit(0)).as("campaign_flag"))
+      }),
+      Some("""WITH od AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1 AS INT) AS day
+             |  FROM orders),
+             |promo AS (
+             |  SELECT DISTINCT o.o_custkey AS cd_custkey,
+             |    CAST(datediff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) + 1 AS INT) AS coupon_day
+             |  FROM lineitem l
+             |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |enrolled AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0)
+             |SELECT od.o_orderkey, od.o_custkey, od.day,
+             |  CASE WHEN pr.coupon_day IS NOT NULL THEN 1 ELSE 0 END AS coupon_flag,
+             |  coalesce(e.c_mktsegment, 'UNKNOWN') AS segment,
+             |  CASE WHEN coalesce(e.c_mktsegment, 'UNKNOWN') <> 'UNKNOWN' THEN 1 ELSE 0 END AS campaign_flag
+             |FROM od
+             |LEFT JOIN promo pr
+             |  ON od.o_custkey = pr.cd_custkey AND od.day = pr.coupon_day
+             |LEFT JOIN enrolled e ON od.o_custkey = e.c_custkey""".stripMargin))
   )
 }
