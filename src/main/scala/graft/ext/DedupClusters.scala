@@ -36,16 +36,20 @@ object DedupClusters {
       val neighborMin = edges
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val next = labels
+      // the convergence probe rides along as a flag column — no separate
+      // next-vs-previous join per round (one job per iteration total)
+      val nextRaw = labels
         .join(neighborMin, col("doc_id") === col("src"), "left")
         .select(
           col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
-        .limit(1).count()
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("relabeled"))
+      // each round's plan nests the previous round's; truncate the
+      // lineage periodically so planning stays O(1) per iteration and an
+      // executor loss doesn't replay the whole history (cluster
+      // deployments use a reliable checkpoint dir instead of local)
+      val next = if (iter % 5 == 4) nextRaw.localCheckpoint() else nextRaw.cache()
+      val changed = next.filter(col("relabeled")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -60,7 +64,7 @@ object DedupClusters {
         s"DedupClusters.components did not converge within $maxIter iterations: " +
           "some component's diameter exceeds maxIter; raise maxIter (labels would " +
           "otherwise silently diverge from min-reachable-doc_id semantics)")
-    labels
+    labels.select(col("doc_id"), col("cluster_id"))
   }
 
   /** Cluster summary: one row per component with its representative and

@@ -186,18 +186,10 @@ object SimHash {
         .as(Seq("block", "block_val")))
     // stop-bucket cap: a block value shared by thousands of docs (heavy
     // shared vocabulary) contributes k^2 candidate pairs and almost no
-    // dedup signal — drop buckets above the cap before self-joining
-    // (standard LSH practice; the oracle applies the identical cap)
-    val counted = blocked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("block_val"))))
-      .filter(col("bucket_n") <= bucketCap)
-    val cand = counted.as("a")
-      .join(counted.as("b"),
-        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // dedup signal — drop buckets above the cap (standard LSH practice;
+    // the oracle applies the identical cap). Pair generation is the
+    // single-shuffle bucket-collect ([[MinHashDedup.pairsFromBuckets]]).
+    val cand = MinHashDedup.pairsFromBuckets(blocked, col("block"), col("block_val"), bucketCap)
     val withInts = cand
       .join(fpInts.toDF("doc_a" +: (0 until nBlocks).map(i => s"a_$i"): _*), "doc_a")
       .join(fpInts.toDF("doc_b" +: (0 until nBlocks).map(i => s"b_$i"): _*), "doc_b")

@@ -41,6 +41,37 @@ object BasketItemsets {
     frequentItemsets(lineitem, minSupport)
       .filter(size(split(col("itemset"), ",")) <= 2)
 
+  /** Frequent itemsets restricted to size <= 3 — extends the SQL-replayable
+    * slice to triples, tightening the M13 gate (an FP-Growth bug in
+    * conditional-tree recursion would first surface at size 3, which the
+    * pairs-only gate cannot see).
+    */
+  def frequentItemsetsUpTo3(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame =
+    frequentItemsets(lineitem, minSupport)
+      .filter(size(split(col("itemset"), ",")) <= 3)
+
+  def upTo3Oracle(minSupport: Double): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+       |th AS (SELECT CAST(ceil($minSupport * n_baskets) AS BIGINT) AS min_freq FROM n),
+       |singles AS (
+       |  SELECT item AS itemset, count(*) AS freq FROM b GROUP BY item
+       |  HAVING count(*) >= (SELECT min_freq FROM th)),
+       |pairs AS (
+       |  SELECT a.item || ',' || c.item AS itemset, count(*) AS freq
+       |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+       |  GROUP BY 1 HAVING count(*) >= (SELECT min_freq FROM th)),
+       |triples AS (
+       |  -- string-ordered items, matching Spark's sort_array on strings
+       |  SELECT a.item || ',' || c.item || ',' || d.item AS itemset, count(*) AS freq
+       |  FROM b a
+       |  JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+       |  JOIN b d ON c.l_orderkey = d.l_orderkey AND c.item < d.item
+       |  GROUP BY 1 HAVING count(*) >= (SELECT min_freq FROM th))
+       |SELECT itemset, freq FROM (
+       |  SELECT * FROM singles UNION ALL SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+       |ORDER BY freq DESC, itemset ASC""".stripMargin
+
   def upTo2Oracle(minSupport: Double): String =
     s"""WITH b AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
        |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),

@@ -47,6 +47,15 @@ object MlQueries {
     // result replayed exactly by relational SQL (oracle-checked)
     "ml_fpgrowth_pairs" -> (
       ((s: SparkSession, d: String) => BasketItemsets.frequentItemsetsUpTo2(Catalog(s, d).lineitem, 0.002)),
-      Some(BasketItemsets.upTo2Oracle(0.002)))
+      Some(BasketItemsets.upTo2Oracle(0.002))),
+
+    // FP-Growth restricted to size<=3: the triple slice exercises the
+    // conditional-tree recursion the pairs gate cannot see. minSupport
+    // 0.0001 -> min_freq 2 at sf0.01, the level where size-3 itemsets
+    // actually exist in the synthetic baskets (12 of them; 0.002 yields
+    // zero triples and would gate nothing new)
+    "ml_fpgrowth_upto3" -> (
+      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsetsUpTo3(Catalog(s, d).lineitem, 0.0001)),
+      Some(BasketItemsets.upTo3Oracle(0.0001)))
   )
 }
