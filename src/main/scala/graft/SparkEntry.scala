@@ -50,7 +50,7 @@ object SparkEntry {
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "c1_corpus_pipeline",
-    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall",
+    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window",

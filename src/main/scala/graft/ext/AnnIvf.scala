@@ -93,10 +93,29 @@ object AnnIvf {
       explode(slice(array_sort(cellScores(col("embedding"), cents)), 1, nProbe)).as("sc"))
       .select(col("qid"), col("qv"), col("qn"), col("sc.cell").as("cell"))
 
+  /** Centroids = the vectors with the `nCells` smallest vec_ids. A
+    * deterministic, SQL-replayable centroid choice: with it the WHOLE
+    * IVF path (assign, probe, rescore, rank) is hash-gated by
+    * [[fixedTopKOracle]] — the k-means fit is the only piece ANSI SQL
+    * cannot replay, and here it drops out. Statistically worse cells
+    * than k-means; byte-identical plan shape.
+    */
+  def fixedCentroids(embeddings: DataFrame, nCells: Int): Array[Vector] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(a => org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
+  }
+
   /** Top-k ANN: probe nProbe cells per query, rescore exactly, rank. */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
-           nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val cents = centroids(embeddings, nCells, seed)
+           nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    topKWith(embeddings, queries, k, centroids(embeddings, nCells, seed), nProbe)
+
+  /** [[topK]] with caller-supplied centroids (fitted or fixed). */
+  def topKWith(embeddings: DataFrame, queries: DataFrame, k: Int,
+               cents: Array[Vector], nProbe: Int = 4): DataFrame = {
     val assigned = assign(embeddings, cents)
       .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
@@ -112,4 +131,55 @@ object AnnIvf {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
   }
+
+  /** DuckDB oracle for [[topKWith]] + [[fixedCentroids]] over the
+    * `embeddings` table with queries `vec_id < maxQid`: the same
+    * quantized-integer argmin (`score = |c|^2 - 2 v*c`, ties to the
+    * lower cell), the same nProbe probe, the same exact rescore and
+    * deterministic rank.
+    */
+  def fixedTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4): String =
+    s"""WITH ${VectorOps.oracleElems},
+       |cells AS (
+       |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
+       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+       |c2 AS (
+       |  SELECT c.cell, CAST(SUM(ce.x * ce.x) AS BIGINT) AS csq
+       |  FROM cells c JOIN el ce ON ce.vec_id = c.cvec GROUP BY 1),
+       |cdots AS (
+       |  SELECT e.vec_id, c.cell, CAST(SUM(e.x * ce.x) AS BIGINT) AS dot
+       |  FROM el e
+       |  JOIN cells c ON TRUE
+       |  JOIN el ce ON ce.vec_id = c.cvec AND ce.i = e.i
+       |  GROUP BY 1, 2),
+       |cellscore AS (
+       |  SELECT s.vec_id, s.cell, (c2.csq - 2 * s.dot) AS score
+       |  FROM cdots s JOIN c2 ON s.cell = c2.cell),
+       |assigned AS (
+       |  SELECT vec_id AS cid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+       |    FROM cellscore) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+       |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.qid, a.cid FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.cid <> p.qid),
+       |dots AS (
+       |  SELECT q.qid, q.cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM cand q
+       |  JOIN el a ON a.vec_id = q.qid
+       |  JOIN el b ON b.vec_id = q.cid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= $k""".stripMargin
 }

@@ -174,6 +174,15 @@ object ExtensionQueries {
     // recall@5 of LSH vs brute force, per query, both sides SQL-replayed
     "s4_ann_recall" -> (annLshRecall _, Some(annLshRecallOracle)),
 
+    // IVF path with fixed (SQL-replayable) centroids: hash-gates the
+    // assign/probe/rescore/rank machinery that s3 runs under fitted cells
+    "s5_ann_ivf_fixed" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnIvf.topKWith(e, e.filter(col("vec_id") < 10), 5, AnnIvf.fixedCentroids(e, 16))
+      }),
+      Some(AnnIvf.fixedTopKOracle(5, 10))),
+
     // token counting (whitespace + BPE-ish)
     "t1_token_counts" -> (
       ((s: SparkSession, d: String) => TextStats.tokenCounts(Catalog(s, d).documents)),

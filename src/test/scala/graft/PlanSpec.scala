@@ -47,6 +47,17 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Window"), s"assign stage uses a window:\n$p")
   }
 
+  test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
+    val weekly = plan("q32_etl_weekly")
+    assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")
+    assert(weekly.contains("l_quantity") && weekly.contains("l_discount"),
+      "outlier filters not pushed to the scan")
+    val item = plan("q34_etl_item")
+    assert(item.contains("BroadcastHashJoin"), "part dimension join not broadcast in q34")
+    val coupon = plan("q35_coupon_flag")
+    assert(coupon.contains("BroadcastHashJoin"), "enrolled-dim join not broadcast in q35")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)
