@@ -7,6 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class TransformSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
+  test("Exact.qavg: grid-quantized average is exact for on-grid values and order-independent") {
+    import graft.functions.Exact
+    val df = Seq(1.25, 2.5, 3.75, 10.0).map(Tuple1(_)).toDF("x")
+    val got = df.agg(Exact.qavg(col("x")).as("a")).collect()(0).getDouble(0)
+    assert(got == (12500L + 25000L + 37500L + 100000L) / (10000.0 * 4))
+    // repartitioning (different partial-aggregation order) changes nothing
+    val re = df.repartition(7).agg(Exact.qavg(col("x"))).collect()(0).getDouble(0)
+    assert(re == got)
+  }
+
   test("SchemaCompat: case-insensitive resolve, probe order, intersection") {
     val df = Seq((1L, 10L, "a")).toDF("Basket_ID", "product_id_y", "Age_Desc")
     assert(SchemaCompat.resolve(df, "basket_id").contains("Basket_ID"))
