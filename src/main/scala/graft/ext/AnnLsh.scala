@@ -33,6 +33,20 @@ import org.apache.spark.sql.types.DoubleType
   */
 object AnnLsh {
 
+  /** Default band geometry, tuned for top-k recall (ONE definition —
+    * Spark path and SQL oracle must agree). Measured against brute force
+    * on the testdata (moderate-similarity neighbors, cosine ~0.3-0.5):
+    * 24 bands x 6 bits -> recall@5 = 0.62, vs 0.0 for the near-dup
+    * geometry (8 x 12) that only buckets cosine ~0.9+ pairs. Fewer bits
+    * = coarser buckets = more candidates: per-band collision for random
+    * pairs is 2^-bits, so `bits` must grow with log2(corpus) at scale —
+    * 6 bits is right for 10^3..10^4 vectors; a 100 TB corpus runs ~16-20
+    * bits with more bands, or the IVF path ([[AnnIvf]]) whose probe
+    * count is similarity-independent.
+    */
+  val defaultBands = 24
+  val defaultBits  = 6
+
   /** Broadcast-sized table of hyperplane components: (band, bit, dim, sign).
     *
     * `sign(id) = +1` iff the first hex digit of md5(id-as-string) is
@@ -49,54 +63,61 @@ object AnnLsh {
         .cast("int"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
   }
 
-  /** (vec_id, band, code) LSH codes for every vector.
-    *
-    * The projection sums *quantized* components (the
-    * [[VectorOps.quant]] integer grid), not raw doubles: double addition
-    * is order-dependent under partial aggregation, so a near-zero
-    * projection could flip sign (and thus the bucket code) across
-    * runs/partitionings. Integer sums are order-independent — codes are
-    * genuinely deterministic.
+  /** (vec_id, band, code) LSH codes for every vector: ONE narrow
+    * projection through the native [[graft.functions.SignLshCodes]]
+    * expression (exact integer projections against a precomputed
+    * md5-parity sign table — bit-identical to the relational
+    * explode/join/aggregate formulation the SQL oracle replays, without
+    * shuffling corpus x bands x bits partial sums and without the
+    * seconds-long janino compile a bands x bits inlined-dot projection
+    * costs). `posexplode` of the code array yields (band, code) directly.
     */
-  def codes(embeddings: DataFrame, bands: Int, bits: Int, dims: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    val elems = embeddings.select(
-      col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-    elems
-      .join(broadcast(planes(spark, bands, bits, dims)), "dim")
-      .groupBy(col("vec_id"), col("band"), col("bit"))
-      .agg(sum(VectorOps.quant(col("x")) * col("sign")).as("proj"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L))).as("code"))
-  }
+  def codes(embeddings: DataFrame, bands: Int, bits: Int, dims: Int): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      posexplode(graft.functions.SignLshCodes.of(col("embedding"), bands, bits, dims))
+        .as(Seq("band", "code")))
 
-  /** Candidate pairs (a < b) sharing any (band, code) bucket. */
-  def candidatePairs(embeddings: DataFrame, bands: Int = 8, bits: Int = 12): DataFrame = {
-    // cached: self-joined below; without it the code pipeline runs twice
-    val c = codes(embeddings, bands, bits, dims = 64).cache()
-    c.as("a")
-      .join(c.as("b"),
-        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+  /** Candidate pairs (a < b) sharing any (band, code) bucket — the
+    * single-shuffle bucket-collect ([[MinHashDedup.pairsFromBuckets]]),
+    * not a cached self-join; bucket sizes are ~n/2^bits per band, bounded
+    * by keeping `bits` proportional to log2(n).
+    */
+  def candidatePairs(embeddings: DataFrame, bands: Int = defaultBands, bits: Int = defaultBits): DataFrame = {
+    val members = codes(embeddings, bands, bits, dims = 64)
+      .select(col("vec_id").as("doc_id"), col("band"), col("code"))
+    MinHashDedup.pairsFromBuckets(members, col("band"), col("code"), bucketCap = Int.MaxValue)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
   }
 
   /** Top-k ANN for `queries` (a subset of `embeddings` rows) restricted to
     * LSH candidates, rescored exactly.
+    *
+    * Candidates are each query's bucket-mates: the (small) query-code
+    * side broadcasts into the corpus-code join, so candidate generation
+    * touches |queries| x bands buckets — NOT the corpus all-pairs
+    * ([[candidatePairs]], the dedup-shaped primitive, which at coarse
+    * `bits` is quadratically larger than any top-k query needs).
     */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
-           bands: Int = 8, bits: Int = 12): DataFrame = {
-    val pairs = candidatePairs(embeddings, bands, bits)
-    val sym = pairs.select(col("id_a").as("qid"), col("id_b").as("cid"))
-      .union(pairs.select(col("id_b").as("qid"), col("id_a").as("cid")))
+           bands: Int = defaultBands, bits: Int = defaultBits): DataFrame = {
+    val c = codes(embeddings, bands, bits, dims = 64)
+    // query codes from the (small) query frame — same deterministic
+    // pipeline, |queries| x 64 exploded rows instead of the corpus
+    val qc = codes(queries, bands, bits, dims = 64)
+      .select(col("vec_id").as("qid"), col("band"), col("code"))
+    val sym = c.select(col("vec_id").as("cid"), col("band"), col("code"))
+      .join(broadcast(qc), Seq("band", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+      .distinct()
     // norms computed once per vector in the projection, carried through
     // the joins (per-pair dotQ(v,v) re-derivation is 2x the rescore cost)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"))
-    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+    val c2 = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("cn"))
-    val scored = sym.join(q, "qid").join(c, "cid")
+    val scored = sym.join(broadcast(q), "qid").join(c2, "cid")
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
@@ -136,7 +157,7 @@ object AnnLsh {
     * `lsh(qid, cid, cosine, rank)`. Expects `el`/`norms` in scope;
     * shared by [[topKOracle]] and the s4 recall oracle.
     */
-  def lshCtes(k: Int, maxQid: Long, bands: Int = 8, bits: Int = 12): String =
+  def lshCtes(k: Int, maxQid: Long, bands: Int = defaultBands, bits: Int = defaultBits): String =
     s"""${codesOracleCtes(bands, bits, dims = 64)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -166,7 +187,7 @@ object AnnLsh {
     * queries `vec_id < maxQid` — the SQL twin of the registered
     * `s2_ann_lsh`.
     */
-  def topKOracle(k: Int, maxQid: Long, bands: Int = 8, bits: Int = 12): String =
+  def topKOracle(k: Int, maxQid: Long, bands: Int = defaultBands, bits: Int = defaultBits): String =
     s"""WITH ${VectorOps.oracleElems},
        |${lshCtes(k, maxQid, bands, bits)}
        |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM lsh""".stripMargin

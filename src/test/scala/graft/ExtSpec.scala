@@ -20,15 +20,22 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(2) - 1.0) < 1e-6)
   }
 
-  test("ANN LSH recall: every planted near-dup pair (cosine>=0.4) in candidates is exact-scored correctly; brute-force top-1 recovered for hit queries") {
+  test("ANN LSH: recall@5 vs brute force >= 0.5 at the default geometry; scores exact") {
     val e = Catalog(spark, sf).embeddings.cache()
     val cand = AnnLsh.candidatePairs(e).cache()
     assert(cand.count() > 0)
-    // any candidate pair's LSH-reported cosine must equal brute-force cosine
     val q = e.filter(col("vec_id") < 10)
-    val lsh = AnnLsh.topK(e, q, 5).collect()
-    assert(lsh.nonEmpty)
-    assert(lsh.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val lsh = AnnLsh.topK(e, q, 5)
+    val got = ids(lsh)
+    val want = ids(graft.queries.ExtensionQueries.bruteTopK(e, q, 5))
+    assert(want.nonEmpty)
+    // deterministic (fixed md5 planes, fixed data): 0.62 measured at
+    // sf0.001/sf0.01; the floor catches a geometry or code regression
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.5, s"LSH recall@5 = $recall")
+    assert(lsh.collect().forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
   test("IVF ANN: recall@5 vs brute force is substantial; scores are exact") {
