@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -20,12 +20,12 @@ import org.apache.spark.sql.types.DoubleType
   * whole LSH pipeline (codes, buckets, rescore, top-k) is SQL-expressible
   * and [[topKOracle]] generates that SQL, making `s2_ann_lsh` a
   * hash-gated query rather than a rows-only one. (xxhash64 is the
-  * production drop-in where oracle parity is not needed.) Code
-  * computation is *relational* — explode the vector, equi-join a
-  * broadcast planes table, two partial-aggregates — rather than one giant
-  * per-row expression (which would blow codegen at 64 dims x bits x
-  * bands) ... and the same shape distributes: the heavy side only
-  * shuffles (vec_id, band, bit) partial sums.
+  * production drop-in where oracle parity is not needed.) Codes are
+  * computed by the native [[graft.functions.SignLshCodes]] expression —
+  * one codegen'd pass per vector over a precomputed sign table, narrow
+  * and shuffle-free; the exact integer projections make codes
+  * deterministic on any partitioning and bit-identical to the oracle's
+  * relational replay.
   *
   * Candidates are rescored with the exact quantized dot; per-vector norms
   * are computed ONCE (per-vector invariant) and carried through the
@@ -46,22 +46,6 @@ object AnnLsh {
     */
   val defaultBands = 24
   val defaultBits  = 6
-
-  /** Broadcast-sized table of hyperplane components: (band, bit, dim, sign).
-    *
-    * `sign(id) = +1` iff the first hex digit of md5(id-as-string) is
-    * even — bit-identical in Spark and DuckDB (md5 of the UTF-8 decimal
-    * string, same hex-digit arithmetic as [[SimHash]]).
-    */
-  def planes(spark: SparkSession, bands: Int, bits: Int, dims: Int): DataFrame = {
-    val n = bands.toLong * bits * dims
-    spark.range(n).select(
-      (col("id") / (bits * dims)).cast("int").as("band"),
-      (col("id") % (bits * dims) / dims).cast("int").as("bit"),
-      (col("id") % dims).cast("int").as("dim"),
-      when(pmod(conv(substring(md5(col("id").cast("string").cast("binary")), 1, 1), 16, 10)
-        .cast("int"), lit(2)) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
-  }
 
   /** (vec_id, band, code) LSH codes for every vector: ONE narrow
     * projection through the native [[graft.functions.SignLshCodes]]

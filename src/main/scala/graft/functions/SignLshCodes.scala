@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * one pass — code b's bit j is the sign of the exact integer projection
   * of the quantized vector onto hyperplane (b, j), whose +-1 components
   * come from a driver-precomputed md5-parity table (the identical
-  * arithmetic [[graft.ext.AnnLsh.planes]] and the DuckDB oracle use, so
+  * arithmetic the DuckDB oracle uses ([[graft.ext.AnnLsh.codesOracleCtes]]), so
   * results are bit-exact across engines).
   *
   * A native expression for the same reason as [[QuantizedDot]], plus a
@@ -37,7 +37,7 @@ case class SignLshCodes(child: Expression, bands: Int, bits: Int, dims: Int)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** +-1 per (band, bit, dim), flattened as in [[graft.ext.AnnLsh.planes]]:
+  /** +-1 per (band, bit, dim), flattened plane-id order (matching the oracle's planes CTE):
     * index = (band*bits + bit)*dims + dim.
     */
   @transient private lazy val signs: Array[Byte] = SignLshCodes.signTable(bands, bits, dims)
