@@ -41,7 +41,29 @@ object IoQueries {
       .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("week_net"))
   }
 
+  /** ORC round-trip (beyond the reference's formats): write orders to
+    * ORC, read it back with a filter+aggregate — the ORC reader supports
+    * the same predicate pushdown/column pruning as parquet, so the
+    * engine's source surface is format-agnostic. Oracle recomputes from
+    * the original parquet.
+    */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Catalog(s, d).orders.write.mode("overwrite").orc(s"$tmp/orders_orc")
+    s.read.orc(s"$tmp/orders_orc")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q36_orc_roundtrip" -> (
+      (orcRoundtrip _),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     "q21_partitioned_roundtrip" -> (
       (partitionedRoundtrip _),
       Some("""SELECT CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
