@@ -33,37 +33,22 @@ object MinHashDedup {
     */
   val P = 999999999989L
 
-  /** Exploded distinct 5-char shingles: (doc_id, shingle). */
-  def shingles(documents: DataFrame, n: Int = 5): DataFrame =
-    documents.select(
-      col("doc_id"),
-      explode(NgramJaccard.charNgrams(col("text"), n)).as("shingle"))
-
-  /** 48-bit integer from 12 hex chars of the shingle's md5. */
-  private def hexPiece(md5col: Column, from: Int): Column =
-    conv(substring(md5col, from, 12), 16, 10).cast("long")
-
-  /** One md5 per distinct shingle, fanned into everything downstream:
-    * `g` (the 48-bit gram hash [[NgramJaccard.hashedNgrams]] would
-    * produce — identical `substr(md5, 1, 12)` arithmetic) and the
-    * Kirsch-Mitzenmacher `(a, b)` pieces. A single shingle scan serves
-    * BOTH the signature aggregate and the verify-side gram sets.
+  /** MinHash signatures: one row per doc, columns sig_0..sig_63 (longs).
+    *
+    * One narrow pass through the native
+    * [[graft.functions.MinHashSignature]] expression — no shingle
+    * explode, no (doc_id, hash) shuffle, no 64-way min aggregate; the
+    * whole signature folds per row. Docs shorter than `n` have no
+    * shingles and are filtered, exactly as the explode formulation
+    * dropped them (the oracle's `unnest` of an empty list does too).
     */
-  private def shingleHashes(documents: DataFrame, n: Int): DataFrame =
-    shingles(documents, n)
-      .withColumn("m", md5(col("shingle").cast("binary")))
-      .withColumn("g", hexPiece(col("m"), 1))
-      .withColumn("a", col("g") % P)
-      .withColumn("b", hexPiece(col("m"), 13) % P)
-
-  private def sigAggs: Seq[Column] =
-    (0 until numHashes).map(j => min((col("a") + lit(j.toLong) * col("b")) % P).as(s"sig_$j"))
-
-  /** MinHash signatures: one row per doc, columns sig_0..sig_63 (longs). */
-  def signatures(documents: DataFrame, n: Int = 5): DataFrame = {
-    val aggs = sigAggs
-    shingleHashes(documents, n).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def signatures(documents: DataFrame, n: Int = 5): DataFrame =
+    documents
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.of(col("text"), n, numHashes, P).as("sig"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"sig_$j")): _*)
 
   /** Signatures flattened to a single string column (stable to compare). */
   def signatureStrings(documents: DataFrame, n: Int = 5): DataFrame =
@@ -118,19 +103,17 @@ object MinHashDedup {
     * hashed shingles — oracle-shared hashing, see
     * [[NgramJaccard.hashedNgrams]]).
     *
-    * Sharing one md5 scan between the signature aggregate and the
-    * verify-side gram sets was tried twice and measured SLOWER at sf0.1:
-    * folding `collect_list(g)` into the 64-min aggregate forces the whole
-    * aggregation onto the object-hash path (12.1s vs 9.6s d3 cold), and
-    * caching the exploded (doc_id, g, a, b) hashes pays more in cache
-    * materialization than the second text scan costs (11.4s). Two
-    * independent codegen'd scans win on this shape; revisit only if the
-    * md5 share of the profile grows.
+    * The gram arrays come from the native
+    * [[graft.functions.HashedNgrams]] expression (pre-sorted, one tight
+    * loop per doc) — sharing ONE scan between signatures and grams via a
+    * cache or a fused aggregate was tried and measured slower than two
+    * independent narrow scans; with both sides now native expressions
+    * the second scan is cheap.
     */
   def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5,
                     bucketCap: Int = 50): DataFrame = {
     val g = documents.select(
-      col("doc_id"), sort_array(NgramJaccard.hashedNgrams(col("text"), n)).as("grams"))
+      col("doc_id"), graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .cache()   // joined twice (doc_a / doc_b sides)
     candidatePairs(documents, n, bucketCap)
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")

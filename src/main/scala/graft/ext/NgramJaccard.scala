@@ -33,6 +33,11 @@ object NgramJaccard {
     * verbatim with the DuckDB oracle). Set ops on longs are ~10x cheaper
     * than on short strings, and 48 bits make collisions negligible (and,
     * because the oracle hashes identically, semantically harmless).
+    *
+    * This HOF formulation is the executable specification of
+    * [[graft.functions.HashedNgrams]] (the shipped native expression —
+    * `transform` lambdas are CodegenFallback, interpreting md5 per
+    * element); `ShingleHashesSpec` pins native == HOF.
     */
   def hashedNgrams(text: Column, n: Int): Column =
     transform(charNgrams(text, n),
@@ -59,11 +64,13 @@ object NgramJaccard {
   def pairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.3,
             bucketWidth: Int = 50): DataFrame = {
     // cached: consumed by both sides of the self-join below — without a
-    // materialization point the md5+sort gram pipeline runs twice
+    // materialization point the gram pipeline runs twice. Grams come
+    // pre-sorted from the native expression (one loop per doc; the
+    // transform-lambda form interprets md5 per element).
     val g = documents.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / bucketWidth).as("len_bucket"),
-      sort_array(hashedNgrams(col("text"), n)).as("grams"))
+      graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .cache()
     val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
