@@ -29,7 +29,12 @@ object DedupClusters {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // iterate over CONNECTED vertices only: a doc with no edge can never
+    // change its label, so singletons (the overwhelming majority of a
+    // deduplicated corpus) rejoin after convergence via a left join —
+    // every round's join/aggregate shuffles |connected| rows, not |corpus|
+    val connected = edges.select(col("src").as("doc_id")).distinct()
+    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -64,7 +69,9 @@ object DedupClusters {
         s"DedupClusters.components did not converge within $maxIter iterations: " +
           "some component's diameter exceeds maxIter; raise maxIter (labels would " +
           "otherwise silently diverge from min-reachable-doc_id semantics)")
-    labels.select(col("doc_id"), col("cluster_id"))
+    documents.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Cluster summary: one row per component with its representative and
