@@ -72,6 +72,52 @@ object BasketItemsets {
        |  SELECT * FROM singles UNION ALL SELECT * FROM pairs UNION ALL SELECT * FROM triples)
        |ORDER BY freq DESC, itemset ASC""".stripMargin
 
+  /** Association rules from the frequent itemsets (beyond the
+    * reference, which prints itemsets only): restricted to 1->1 rules
+    * so the relational twin is exact — confidence, lift and support are
+    * pure frequency ratios, replayed division-for-division by the
+    * oracle. The size filter guards parity if a support change ever
+    * admits larger antecedents.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Double = 0.002,
+                       minConfidence: Double = 0.1): DataFrame = {
+    val fp = new FPGrowth().setItemsCol("items")
+      .setMinSupport(minSupport).setMinConfidence(minConfidence)
+    val model = fp.fit(baskets(lineitem).cache())
+    model.associationRules
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .select(
+        array_join(col("antecedent"), ",").as("antecedent"),
+        array_join(col("consequent"), ",").as("consequent"),
+        col("confidence"), col("lift"), col("support"))
+  }
+
+  def rulesOracle(minSupport: Double, minConfidence: Double): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+       |th AS (SELECT CAST(ceil($minSupport * n_baskets) AS BIGINT) AS min_freq FROM n),
+       |singles AS (
+       |  SELECT item, count(*) AS freq FROM b GROUP BY item
+       |  HAVING count(*) >= (SELECT min_freq FROM th)),
+       |pairsf AS (
+       |  SELECT a.item AS i1, c.item AS i2, count(*) AS freq
+       |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+       |  GROUP BY 1, 2 HAVING count(*) >= (SELECT min_freq FROM th)),
+       |oriented AS (
+       |  SELECT i1 AS ante, i2 AS cons, freq FROM pairsf
+       |  UNION ALL SELECT i2, i1, freq FROM pairsf),
+       |r AS (
+       |  SELECT o.ante AS antecedent, o.cons AS consequent,
+       |    CAST(o.freq AS DOUBLE) / sa.freq AS confidence,
+       |    (CAST(o.freq AS DOUBLE) / sa.freq)
+       |      / (CAST(sb.freq AS DOUBLE) / (SELECT n_baskets FROM n)) AS lift,
+       |    CAST(o.freq AS DOUBLE) / (SELECT n_baskets FROM n) AS support
+       |  FROM oriented o
+       |  JOIN singles sa ON o.ante = sa.item
+       |  JOIN singles sb ON o.cons = sb.item)
+       |SELECT antecedent, consequent, confidence, lift, support
+       |FROM r WHERE confidence >= $minConfidence""".stripMargin
+
   def upTo2Oracle(minSupport: Double): String =
     s"""WITH b AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
        |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),

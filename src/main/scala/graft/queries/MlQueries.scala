@@ -49,6 +49,14 @@ object MlQueries {
       ((s: SparkSession, d: String) => BasketItemsets.frequentItemsetsUpTo2(Catalog(s, d).lineitem, 0.002)),
       Some(BasketItemsets.upTo2Oracle(0.002))),
 
+    // association rules (1->1) with confidence/lift/support replayed as
+    // frequency ratios by the oracle; support 0.0001 is the level where
+    // pair itemsets exist in the synthetic baskets (132 rules clear
+    // confidence 0.1 at sf0.01 — 0.002 admits only singletons, no rules)
+    "ml_fpgrowth_rules" -> (
+      ((s: SparkSession, d: String) => BasketItemsets.associationRules(Catalog(s, d).lineitem, 0.0001, 0.1)),
+      Some(BasketItemsets.rulesOracle(0.0001, 0.1))),
+
     // FP-Growth restricted to size<=3: the triple slice exercises the
     // conditional-tree recursion the pairs gate cannot see. minSupport
     // 0.0001 -> min_freq 2 at sf0.01, the level where size-3 itemsets
