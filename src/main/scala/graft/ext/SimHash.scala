@@ -49,7 +49,23 @@ object SimHash {
   }
 
   /** (doc_id, simhash) where simhash is a 64-char '0'/'1' string,
-    * bit 0 first.
+    * bit 0 first — ONE narrow pass through the native
+    * [[graft.functions.SimHashFingerprint]] expression (no token
+    * explode, no packed-sum shuffle); token-less docs are filtered,
+    * exactly as the explode formulation produced no row for them.
+    * `SimHashSpec` pins native == the lane-packed aggregate formulation
+    * ([[fingerprintsRelational]], kept as the executable spec the
+    * DuckDB oracle replays).
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint.of(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The lane-packed aggregate formulation of [[fingerprints]] —
+    * executable specification only (the shipped path is the native
+    * expression).
     *
     * The md5 digest is materialized as a column *before* the aggregate:
     * Catalyst does not share common subexpressions across aggregate
@@ -61,7 +77,7 @@ object SimHash {
     * each bit after the aggregate. Integer sums are order-independent,
     * so the DuckDB oracle matches bit-for-bit.
     */
-  def fingerprints(documents: DataFrame): DataFrame = {
+  private[graft] def fingerprintsRelational(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)

@@ -1,0 +1,34 @@
+package graft
+
+import graft.core.Catalog
+import graft.ext.SimHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native SimHash expression against its lane-packed aggregate twin
+  * (which the DuckDB oracle replays verbatim).
+  */
+class SimHashSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("native fingerprint == lane-packed aggregate formulation on real docs") {
+    val docs = Catalog(spark, sf).documents.limit(200)
+      .union(Seq((9001L, "  leading and   irregular\twhitespace ", "en", "t", 0L),
+        (9002L, "", "en", "t", 0L), (9003L, "one", "en", "t", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = SimHash.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val relational = SimHash.fingerprintsRelational(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == relational)
+    assert(!native.contains(9002L))          // token-less doc dropped by both
+    assert(native.contains(9003L))
+  }
+
+  test("token-count guard raises identically to the packed formulation's overflow") {
+    val big = Seq((1L, Seq.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception](SimHash.fingerprints(big).collect())
+    assert(e.getMessage.contains("lane overflow") ||
+      e.getCause.getMessage.contains("lane overflow"))
+  }
+}
