@@ -26,6 +26,17 @@ class BucketingSpec extends AnyFunSuite with SharedSpark {
       // same result as the plain (shuffling) join
       val expected = c.lineitem.join(c.orders, col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() == expected)
+      // bucket pruning: an equality filter on the bucket key scans one
+      // bucket, not the table (auto-bucketed-scan turns the layout off
+      // for plans that don't need the distribution — disable it so the
+      // scan stays bucketed and prunable)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = spark.table("graft_ord_bucketed").filter(col("o_orderkey") === 42L)
+          .queryExecution.executedPlan.toString
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+          s"no bucket pruning:\n$pruned")
+      } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
