@@ -51,7 +51,7 @@ object SparkEntry {
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "c1_corpus_pipeline",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
-    "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint",
+    "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",

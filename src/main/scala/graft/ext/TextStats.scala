@@ -116,4 +116,34 @@ object TextStats {
       |       WHEN fr_score > 0 THEN 'fr'
       |       ELSE 'unknown' END AS predicted_lang
       |FROM s""".stripMargin
+
+  /** Deterministic content-stable train/val/test assignment: bucket =
+    * md5(doc_id) mod 100 (the engine's shared md5 hex-prefix integer
+    * scheme), split by cumulative percentage. The standard
+    * training-pipeline split — unlike `randomSplit` it is reproducible
+    * across runs, engines, partitionings and cluster sizes, documents
+    * keep their split when the corpus grows, and the oracle replays it
+    * exactly. Pure projection: no shuffle, any scale.
+    */
+  def hashSplit(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split: train=$trainPct val=$valPct")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(100L))
+    documents.select(
+      col("doc_id"),
+      bucket.cast("int").as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  def hashSplitOracle(trainPct: Int, valPct: Int): String =
+    s"""SELECT doc_id,
+       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS INT) AS bucket,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < $trainPct THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
 }

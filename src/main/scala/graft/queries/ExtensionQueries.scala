@@ -211,6 +211,11 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.langId(Catalog(s, d).documents)),
       Some(TextStats.langIdOracle)),
 
+    // deterministic content-stable train/val/test split (md5 buckets)
+    "t5_hash_split" -> (
+      ((s: SparkSession, d: String) => TextStats.hashSplit(Catalog(s, d).documents, 80, 10)),
+      Some(TextStats.hashSplitOracle(80, 10))),
+
     // multimodal frame sampling (chunk + stride, per-frame fingerprints)
     "mm2_frame_sample" -> (
       ((s: SparkSession, d: String) => Multimodal.sampleFrames(Catalog(s, d).documents, 64, 4)),
