@@ -64,13 +64,24 @@ object AnnLsh {
 
   /** Candidate pairs (a < b) sharing any (band, code) bucket — the
     * single-shuffle bucket-collect ([[MinHashDedup.pairsFromBuckets]]),
-    * not a cached self-join; bucket sizes are ~n/2^bits per band, bounded
-    * by keeping `bits` proportional to log2(n).
+    * not a cached self-join.
+    *
+    * Stop-bucket cap: bucket sizes are ~n/2^bits per band in expectation,
+    * but a skewed corpus (many near-identical vectors) or `bits` too
+    * coarse for the corpus puts O(n)-member buckets in the plan, and each
+    * bucket's pair fan-out is quadratic in its size — a cap is
+    * ENFORCEMENT, not convention, exactly as in
+    * [[MinHashDedup.candidatePairs]] and [[SimHash.pairs]]: buckets above
+    * `bucketCap` members carry almost no discriminating signal and are
+    * dropped before pair generation, bounding every task at O(cap^2).
+    * Keep `bits` proportional to log2(n) so real near-neighbor buckets
+    * stay far below the cap.
     */
-  def candidatePairs(embeddings: DataFrame, bands: Int = defaultBands, bits: Int = defaultBits): DataFrame = {
+  def candidatePairs(embeddings: DataFrame, bands: Int = defaultBands, bits: Int = defaultBits,
+                     bucketCap: Int = 1000): DataFrame = {
     val members = codes(embeddings, bands, bits, dims = 64)
       .select(col("vec_id").as("doc_id"), col("band"), col("code"))
-    MinHashDedup.pairsFromBuckets(members, col("band"), col("code"), bucketCap = Int.MaxValue)
+    MinHashDedup.pairsFromBuckets(members, col("band"), col("code"), bucketCap)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
   }
 

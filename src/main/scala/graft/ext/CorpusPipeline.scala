@@ -34,6 +34,68 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_words"), col("quality_score"))
   }
 
+  /** Filter-first curation: quality + language predicates applied BEFORE
+    * any dedup work, so MinHash signatures, the LSH pair join, and the
+    * component propagation rounds run over *survivors only* — the
+    * production shape. At a 100 TB corpus with (say) 50% quality/lang
+    * rejection this halves the dominant (dedup-shaped) cost; the trade vs
+    * [[curate]] is semantic, not approximate: cluster representatives are
+    * chosen among survivors (min surviving doc_id), whereas [[curate]]
+    * picks the min doc_id of the FULL corpus's cluster, so a survivor
+    * whose cluster-rep was rejected is dropped there but kept here. Both
+    * forms are oracle-gated; pick by whether cross-reject dup evidence
+    * should suppress survivors.
+    */
+  def curateFiltered(documents: DataFrame, minQuality: Double = 0.8,
+                     lang: String = "en", jaccard: Double = 0.5): DataFrame = {
+    val quality = TextStats.qualityScore(documents)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val langs = TextStats.langId(documents)
+      .select(col("doc_id"), col("predicted_lang"))
+    // cached: the surviving-docs frame feeds the signature scan, the gram
+    // scan, and the final rep filter — without a materialization point the
+    // regex-heavy quality/lang scans would rerun per consumer
+    val survivors = documents
+      .join(quality, "doc_id")
+      .join(langs, "doc_id")
+      .filter(col("quality_score") >= minQuality && col("predicted_lang") === lang)
+      .cache()
+    val comp = DedupClusters.components(
+      survivors, MinHashDedup.verifiedPairs(survivors, 5, jaccard))
+    survivors
+      .join(comp, "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+  }
+
+  /** DuckDB twin of [[curateFiltered]]: the identical verified-pairs +
+    * recursive-closure SQL, with every dedup CTE reading the `sdocs`
+    * (survivors) CTE instead of the base table.
+    */
+  def filteredOracle(minQuality: Double, lang: String, jaccard: Double): String =
+    s"""WITH RECURSIVE
+       |qual AS (${TextStats.qualityOracle}),
+       |lang AS (${TextStats.langIdOracle}),
+       |sdocs AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN qual ON d.doc_id = qual.doc_id
+       |  JOIN lang ON d.doc_id = lang.doc_id
+       |  WHERE qual.quality_score >= $minQuality
+       |    AND lang.predicted_lang = '$lang'),
+       |p AS (${MinHashDedup.verifiedPairsOracle(5, jaccard, table = "sdocs")}),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS root FROM sdocs
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.root FROM reach r JOIN e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT s.doc_id, qual.n_words, qual.quality_score
+       |FROM sdocs s
+       |JOIN qual ON s.doc_id = qual.doc_id
+       |JOIN comp ON s.doc_id = comp.doc_id
+       |WHERE s.doc_id = comp.cluster_id""".stripMargin
+
   def oracle(minQuality: Double, lang: String, jaccard: Double): String =
     s"""WITH RECURSIVE
        |p AS (${MinHashDedup.verifiedPairsOracle(5, jaccard)}),

@@ -127,33 +127,38 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private def oracleShingles(n: Int): String =
+  /** Oracle CTE builders take the source relation name so filtered
+    * variants ([[CorpusPipeline.curateFiltered]]) can replay the same
+    * pipeline over a surviving-docs CTE instead of the base table.
+    */
+  private def oracleShingles(n: Int, table: String): String =
     s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  range(1, greatest(length(text) - ${n - 1}, 0) + 1),
-       |  i -> substr(text, i, $n)))) AS shingle FROM documents),
+       |  i -> substr(text, i, $n)))) AS shingle FROM $table),
        |shab AS (SELECT doc_id,
        |  CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) % $P AS a,
        |  CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) % $P AS b
        |  FROM sh)""".stripMargin
 
-  private def oracleSigs(n: Int): String = {
+  private def oracleSigs(n: Int, table: String): String = {
     val aggs = (0 until numHashes)
       .map(j => s"min((a + $j * b) % $P) AS sig_$j")
       .mkString(", ")
-    s"${oracleShingles(n)}, sigs AS (SELECT doc_id, $aggs FROM shab GROUP BY doc_id)"
+    s"${oracleShingles(n, table)}, sigs AS (SELECT doc_id, $aggs FROM shab GROUP BY doc_id)"
   }
 
   def signaturesOracle(n: Int): String = {
     val cols = (0 until numHashes).map(j => s"sig_$j").mkString(" || ',' || ")
-    s"WITH ${oracleSigs(n)}\nSELECT doc_id, $cols AS signature FROM sigs"
+    s"WITH ${oracleSigs(n, "documents")}\nSELECT doc_id, $cols AS signature FROM sigs"
   }
 
-  def verifiedPairsOracle(n: Int, threshold: Double, bucketCap: Int = 50): String = {
+  def verifiedPairsOracle(n: Int, threshold: Double, bucketCap: Int = 50,
+                          table: String = "documents"): String = {
     val bandSelects = (0 until bandsCount).map { b =>
       val key = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH ${oracleSigs(n)},
+    s"""WITH ${oracleSigs(n, table)},
        |banded0 AS ($bandSelects),
        |counted AS (
        |  SELECT doc_id, band, band_key,
@@ -164,7 +169,7 @@ object MinHashDedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |g AS (SELECT doc_id, ${NgramJaccard.hashedNgramsSql(n)} AS grams FROM documents),
+       |g AS (SELECT doc_id, ${NgramJaccard.hashedNgramsSql(n)} AS grams FROM $table),
        |v AS (SELECT doc_a, doc_b,
        |    len(list_intersect(ga.grams, gb.grams)) AS n_inter,
        |    len(ga.grams) AS na, len(gb.grams) AS nb

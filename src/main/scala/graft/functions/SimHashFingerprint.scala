@@ -27,10 +27,19 @@ object SimHashFingerprint {
 
   val maxTokens: Int = 1 << 15
 
+  // hoisted out of the per-row path: compiling \s+ and constructing an
+  // MD5 MessageDigest per row dominates short docs (MessageDigest is not
+  // thread-safe, hence thread-local — one per codegen'd task thread)
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Null when the text has no tokens. */
   def fingerprint(text: UTF8String): UTF8String = {
-    val tokens = text.toString.split("\\s+")
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val tokens = ws.split(text.toString)
+    val md = localMd.get()
     val counts = new Array[Int](64)
     var n = 0
     var t = 0

@@ -232,6 +232,12 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => CorpusPipeline.curate(Catalog(s, d).documents)),
       Some(CorpusPipeline.oracle(0.8, "en", 0.5))),
 
+    // filter-first curation: the production ordering — dedup cost paid
+    // only over quality/lang survivors (reps chosen among survivors)
+    "c2_corpus_filter_first" -> (
+      ((s: SparkSession, d: String) => CorpusPipeline.curateFiltered(Catalog(s, d).documents)),
+      Some(CorpusPipeline.filteredOracle(0.8, "en", 0.5))),
+
     // tumbling-window event aggregate
     "e1_hourly_events" -> (
       ((s: SparkSession, d: String) => Events.hourly(Catalog(s, d).events)),

@@ -12,8 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object IoQueries {
 
+  /** Deterministic scratch dir per roundtrip query: every sink below
+    * writes mode("overwrite"), so repeated invocations (Bench's min-of-N
+    * cold runs) reuse one directory instead of leaking a fresh temp copy
+    * per run.
+    */
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratch("csv")
     CsvIo.write(Catalog(s, d).customer, s"$tmp/customer_csv")
     CsvIo.read(s, s"$tmp/customer_csv", CsvIo.customerSchema)
       .groupBy(col("c_mktsegment"))
@@ -31,7 +43,7 @@ object IoQueries {
     * from the source table.
     */
   private def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = scratch("part")
     val derived = graft.transform.Derive.pricing(Catalog(s, d).lineitem)
       .select("l_orderkey", "l_linenumber", "net_price", "week_no")
     graft.sources.Writers.partitionedParquet(derived, s"$tmp/by_week", "week_no")
@@ -48,7 +60,7 @@ object IoQueries {
     * the original parquet.
     */
   private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = scratch("orc")
     Catalog(s, d).orders.write.mode("overwrite").orc(s"$tmp/orders_orc")
     s.read.orc(s"$tmp/orders_orc")
       .filter(col("o_orderstatus") === "F")

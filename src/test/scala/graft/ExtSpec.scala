@@ -38,6 +38,15 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.collect().forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
+  test("ANN LSH candidatePairs: stop-bucket cap drops hot buckets") {
+    // identical vectors collapse into ONE (band, code) bucket per band —
+    // the skew shape the cap exists for
+    val v = Array.tabulate(64)(d => (d % 7).toFloat - 3f)
+    val hot = (0L until 60L).map(i => (i, v)).toDF("vec_id", "embedding")
+    assert(AnnLsh.candidatePairs(hot, bucketCap = 50).count() == 0L)
+    assert(AnnLsh.candidatePairs(hot, bucketCap = 60).count() == 60L * 59 / 2)
+  }
+
   test("IVF ANN: recall@5 vs brute force is substantial; scores are exact") {
     val e = Catalog(spark, sf).embeddings.cache()
     val q = e.filter(col("vec_id") < 10)

@@ -43,6 +43,7 @@ class SignLshSpec extends AnyFunSuite with SharedSpark {
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val e = intercept[Exception](
       bad.select(SignLshCodes.of(col("embedding"), 2, 2, 64)).collect())
-    assert(e.getMessage.contains("dims") || e.getCause.getMessage.contains("dims"))
+    assert(e.getMessage.contains("dims") ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("dims"))))
   }
 }
