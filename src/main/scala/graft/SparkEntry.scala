@@ -19,7 +19,8 @@ object SparkEntry {
   private def all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry ++
       graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry ++
-      graft.queries.OlapQueries.registry ++ graft.queries.EtlQueries.registry
+      graft.queries.OlapQueries.registry ++ graft.queries.EtlQueries.registry ++
+      graft.queries.ScaleQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -59,6 +60,6 @@ object SparkEntry {
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
-    "q35_coupon_flag",
+    "q35_coupon_flag", "q37_skew_join", "q38_bucketed_join",
     "ml_fpgrowth_pairs")
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.functions.Exact._
+import graft.sources.Bucketing
+import graft.transform.SkewJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-layout operators as gated queries: the salted skew join and the
+  * bucketed fact-fact join. Both are *semantics-preserving* rewrites of a
+  * plain inner equi-join, so both share the plain-join DuckDB oracle —
+  * the correctness gate proves the rewrite changes the plan, never the
+  * answer (the plan shapes themselves are pinned in PlanSpec /
+  * BucketingSpec).
+  */
+object ScaleQueries {
+
+  private val plainJoinOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Salted inner join (hot-key defense, [[SkewJoin.innerSalted]]) then
+    * aggregate — must be row-identical to the unsalted join.
+    */
+  private def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Catalog(s, d)
+    val probe = c.lineitem.select(col("l_orderkey"), col("l_quantity"))
+    val build = c.orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.innerSalted(probe, build, "l_orderkey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  /** Bucketed fact-fact join: pay the shuffle once at write time
+    * ([[Bucketing.writeBucketed]]), then join the two bucketed tables on
+    * their bucket keys and aggregate. The write IS part of the measured
+    * query — the point at 100 TB is that the layout cost is paid once
+    * while every subsequent join on the key plans exchange-free
+    * (BucketingSpec pins that plan with broadcast disabled).
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Catalog(s, d)
+    Bucketing.writeBucketed(
+      c.lineitem.select("l_orderkey", "l_quantity"), "graft_q38_li", 8, "l_orderkey")
+    Bucketing.writeBucketed(
+      c.orders.select("o_orderkey", "o_orderpriority"), "graft_q38_ord", 8, "o_orderkey")
+    Bucketing.bucketedJoin(s, "graft_q38_li", "graft_q38_ord", "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q37_skew_join" -> (skewJoin _, Some(plainJoinOracle)),
+    "q38_bucketed_join" -> (bucketedJoin _, Some(plainJoinOracle))
+  )
+}

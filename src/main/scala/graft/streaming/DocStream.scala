@@ -42,15 +42,34 @@ object DocStream {
     graft.ext.TextStats.tokenCounts(docs)
 
   /** Streaming exact dedup: first arrival per content digest survives.
-    * State is one row per distinct digest. Here the synthetic corpus has
-    * no event time, so state is unbounded; a production ingest bounds it
-    * with an arrival-time watermark + `dropDuplicatesWithinWatermark`
-    * (dedup-within-horizon semantics).
+    * State is one row per distinct digest — UNBOUNDED over an infinite
+    * stream; use [[dedupWithinWatermark]] (the production variant) to
+    * bound it with a time horizon.
     */
   def dedupByDigest(docs: DataFrame): DataFrame =
     docs
       .withColumn("digest", md5(col("text").cast("binary")))
       .dropDuplicates("digest")
+
+  /** Streaming exact dedup with BOUNDED state: dedup-within-horizon
+    * semantics via `dropDuplicatesWithinWatermark`. The first arrival per
+    * digest is emitted; later arrivals of the same digest are dropped as
+    * long as they land within `horizon` of the watermark; digest state
+    * whose event time has fallen more than `horizon` behind the watermark
+    * is evicted, so state size is O(distinct digests per horizon), not
+    * O(all digests ever) — the property that makes a 100 TB continuous
+    * ingest run forever. A re-arrival after eviction is treated as new
+    * (emitted again): the horizon is the documented semantic trade for
+    * bounded state. `tsCol` is the event/arrival timestamp column
+    * (stamp one with `current_timestamp()` at ingest if the source has
+    * none); StreamingSpec proves drop-within-horizon and
+    * readmit-after-horizon against explicit micro-batches.
+    */
+  def dedupWithinWatermark(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("digest")
 
   private def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
     val q: StreamingQuery = df.writeStream

@@ -58,6 +58,13 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(coupon.contains("BroadcastHashJoin"), "enrolled-dim join not broadcast in q35")
   }
 
+  test("q37: salted join hashes the probe side and replicates the build side") {
+    val p = plan("q37_skew_join")
+    assert(p.contains("__salt"), s"no salt column in the salted join plan:\n$p")
+    assert(p.contains("xxhash64"), s"probe salt is not the deterministic hash:\n$p")
+    assert(p.contains("explode"), s"build side not replicated via explode:\n$p")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)

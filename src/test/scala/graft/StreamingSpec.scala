@@ -36,6 +36,44 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermarked digest dedup: in-horizon dups dropped, state expires past horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 1, 1, 10, 0).plusMinutes(min))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.DocStream.dedupWithinWatermark(docs, "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_wm_dedup").start()
+    try {
+      // batch 1: duplicate of "alpha" arrives 5 min after the first — in
+      // horizon, dropped
+      input.addData((1L, "alpha", ts(0)), (2L, "alpha", ts(5)), (3L, "beta", ts(0)))
+      q.processAllAvailable()
+      // batch 2: advances the watermark to +110 min, expiring alpha state
+      input.addData((4L, "gamma", ts(120)))
+      q.processAllAvailable()
+      // batch 3: "alpha" re-arrives AFTER its state expired — readmitted
+      input.addData((5L, "alpha", ts(115)))
+      q.processAllAvailable()
+      val ids = spark.table("graft_wm_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L, 5L),
+        s"expected in-horizon dup 2 dropped and post-horizon 5 readmitted, got $ids")
+      // batch-equivalence on in-horizon data: within one horizon the
+      // streaming result == batch dropDuplicates on the digest
+      val batchDedup = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+        .toDF("doc_id", "text")
+        .withColumn("digest", org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary")))
+        .dropDuplicates("digest").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchDedup == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming digest dedup keeps one row per distinct content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docdedup")
     java.nio.file.Files.copy(
