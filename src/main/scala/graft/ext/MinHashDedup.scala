@@ -140,7 +140,7 @@ object MinHashDedup {
        |  CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) % $P AS b
        |  FROM sh)""".stripMargin
 
-  private def oracleSigs(n: Int, table: String): String = {
+  private[ext] def oracleSigs(n: Int, table: String): String = {
     val aggs = (0 until numHashes)
       .map(j => s"min((a + $j * b) % $P) AS sig_$j")
       .mkString(", ")

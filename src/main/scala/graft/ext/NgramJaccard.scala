@@ -89,6 +89,95 @@ object NgramJaccard {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** [[pairs]] with a MinHash-band prefilter on the candidate set: a pair
+    * must share (lang, length-bucket) AND collide in at least one LSH
+    * band of its MinHash signature before the exact intersect is paid.
+    *
+    * This is the composition the scale note above prescribes — banding
+    * bounds the quadratic verify volume, the exact Jaccard then decides —
+    * fused into one operator. The trade is recall at the low end of the
+    * threshold: a J≈0.3 pair collides in a 4-row band with probability
+    * ~1-(1-0.3^4)^16 ≈ 12%, so this variant finds *confidently similar*
+    * pairs cheaply rather than exhaustively enumerating borderline ones
+    * ([[pairs]] stays the exhaustive form). The oracle replays banding,
+    * blocking, cap, and verify identically, so the gate is exact on the
+    * composed semantics.
+    *
+    * Plan shape: signature + block columns in ONE narrow scan (native
+    * [[graft.functions.MinHashSignature]]), bucket-collect pair gen
+    * ([[MinHashDedup.pairsFromBuckets]] with the stop-bucket cap), then
+    * the gram join + codegen merge-intersect on the surviving pairs only.
+    */
+  def pairsBanded(documents: DataFrame, n: Int = 5, threshold: Double = 0.3,
+                  bucketWidth: Int = 50, bucketCap: Int = 50): DataFrame = {
+    import MinHashDedup.{bandsCount, rowsPerBand, numHashes, P}
+    val sigs = documents
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / bucketWidth).as("len_bucket"),
+        graft.functions.MinHashSignature.of(col("text"), n, numHashes, P).as("sig"))
+    val bandKeys = (0 until bandsCount).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val banded = sigs.select(col("doc_id"), col("lang"), col("len_bucket"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    val cand = MinHashDedup.pairsFromBuckets(
+      banded, struct(col("lang"), col("len_bucket"), col("band")), col("band_key"), bucketCap)
+    val g = documents.select(
+      col("doc_id"), graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+      .cache()   // joined twice (doc_a / doc_b sides)
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+        col("n_grams").as("na")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+        col("n_grams").as("nb")), "doc_b")
+      .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.ofSorted(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DuckDB twin of [[pairsBanded]]: identical signatures, banding,
+    * blocking, stop-bucket cap, and exact verify.
+    */
+  def bandedOracle(n: Int, threshold: Double, bucketWidth: Int = 50,
+                   bucketCap: Int = 50): String = {
+    import MinHashDedup.{bandsCount, rowsPerBand}
+    val bandSelects = (0 until bandsCount).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${MinHashDedup.oracleSigs(n, "documents")},
+       |blk AS (SELECT doc_id, lang, CAST(floor(n_chars / $bucketWidth) AS BIGINT) AS len_bucket
+       |  FROM documents),
+       |banded0 AS (SELECT bb.doc_id, blk.lang, blk.len_bucket, bb.band, bb.band_key
+       |  FROM ($bandSelects) bb JOIN blk ON bb.doc_id = blk.doc_id),
+       |counted AS (
+       |  SELECT doc_id, lang, len_bucket, band, band_key,
+       |    count(*) OVER (PARTITION BY lang, len_bucket, band, band_key) AS bucket_n
+       |  FROM banded0),
+       |banded AS (SELECT doc_id, lang, len_bucket, band, band_key FROM counted
+       |  WHERE bucket_n <= $bucketCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |   AND a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |g AS (SELECT doc_id, ${hashedNgramsSql(n)} AS grams FROM documents),
+       |p AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(ga.grams, gb.grams)) AS n_inter,
+       |    len(ga.grams) AS na, len(gb.grams) AS nb
+       |  FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id
+       |  WHERE least(len(ga.grams), len(gb.grams)) >= $threshold * greatest(len(ga.grams), len(gb.grams)))
+       |SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM p WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= $threshold""".stripMargin
+  }
+
   def oracle(n: Int, threshold: Double, bucketWidth: Int = 50): String =
     s"""WITH g AS (SELECT doc_id, lang, CAST(floor(n_chars / $bucketWidth) AS BIGINT) AS len_bucket,
        |  ${hashedNgramsSql(n)} AS grams

@@ -48,6 +48,29 @@ object TextStats {
 
   private val stopwordPattern = "\\b(the|a|of|and|to|in|is|it)\\b"
 
+  /** Word count as a bare Column (shared by [[qualityScore]] and the
+    * join-free survivor filters in [[CorpusPipeline.curateFiltered]]).
+    */
+  def nWordsCol(text: Column): Column = countMatches(text, "\\S+")
+
+  /** The [[qualityScore]] `quality_score` expression as a bare Column:
+    * per-row algebra, so filters can apply it in the SAME scan instead of
+    * computing a scored frame and joining it back on doc_id (a corpus
+    * self-join). Values are identical to the DataFrame form — both
+    * inline these exact expressions.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val words = nWordsCol(text)
+    val stops = countMatches(text, stopwordPattern)
+    val punct = countMatches(text, "[^A-Za-z0-9 ]")
+    val stopRatio = when(words > 0, stops.cast("double") / words).otherwise(lit(0.0))
+    val punctRatio = when(words > 0, punct.cast("double") / words).otherwise(lit(0.0))
+    when(words < 5, lit(0.0)).otherwise(
+      lit(1.0)
+        - when(stopRatio > 0.5, stopRatio - 0.5).otherwise(lit(0.0))
+        - when(punctRatio > 0.2, lit(0.5)).otherwise(lit(0.0)))
+  }
+
   /** Heuristic quality score: length band + stopword ratio + punctuation
     * density — the standard cheap pre-filter for LLM training corpora.
     */
@@ -86,6 +109,20 @@ object TextStats {
       |    - (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(n_punct AS DOUBLE)/n_words ELSE 0.0 END) > 0.2
       |            THEN 0.5 ELSE 0.0 END) END AS quality_score
       |FROM q""".stripMargin
+
+  /** The [[langId]] `predicted_lang` expression as a bare Column (same
+    * rationale as [[qualityScoreCol]]: per-row, join-free filtering).
+    */
+  def predictedLangCol(text: Column): Column = {
+    def score(p: String) = countMatches(lower(text), p)
+    val en = score("\\b(the|and|of|to|is)\\b")
+    val es = score("\\b(el|la|de|que|es)\\b")
+    val fr = score("\\b(le|la|de|et|est)\\b")
+    when(en >= es && en >= fr && en > 0, lit("en"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
 
   /** Marker-word language ID (n-gram heuristic): count hits of tiny
     * language-specific word sets; highest count wins with a fixed

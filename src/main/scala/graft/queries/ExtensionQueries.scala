@@ -122,8 +122,16 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => MinHashDedup.verifiedPairs(Catalog(s, d).documents, 5, 0.5)),
       Some(MinHashDedup.verifiedPairsOracle(5, 0.5))),
 
-    // blocked exact n-gram Jaccard near-dup pairs
+    // blocked n-gram Jaccard near-dup pairs with the MinHash-band
+    // prefilter bounding the exact-intersect volume (the scale form)
     "d4_ngram_jaccard" -> (
+      ((s: SparkSession, d: String) => NgramJaccard.pairsBanded(Catalog(s, d).documents, 5, 0.3)),
+      Some(NgramJaccard.bandedOracle(5, 0.3))),
+
+    // the exhaustive (no-banding) form stays gated too — correctness-only,
+    // excluded from the bench set (its all-pairs intersect volume is the
+    // cost pairsBanded exists to avoid)
+    "d4b_ngram_exhaustive" -> (
       ((s: SparkSession, d: String) => NgramJaccard.pairs(Catalog(s, d).documents, 5, 0.3)),
       Some(NgramJaccard.oracle(5, 0.3))),
 

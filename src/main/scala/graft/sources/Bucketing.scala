@@ -18,11 +18,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, in-bucket-sorted managed parquet table. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  /** Write `df` as a bucketed, in-bucket-sorted managed parquet table.
+    *
+    * Overwrite must also cover a location left behind by a PREVIOUS
+    * session: the local metastore is ephemeral but the warehouse dir is
+    * not, and saveAsTable refuses to create a table over an orphaned
+    * location (LOCATION_ALREADY_EXISTS) that DROP TABLE cannot see.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Equi-join two same-bucket-count tables on their bucket keys —
     * plans exchange-free when the layouts match.

@@ -129,6 +129,21 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L) == Seq("abcde", "bcdef"))
   }
 
+  test("banded ngram pairs are a subset of exhaustive pairs; dups always collide") {
+    val docs = Catalog(spark, sf).documents
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = keyed(NgramJaccard.pairs(docs, 5, 0.3))
+    val banded = keyed(NgramJaccard.pairsBanded(docs, 5, 0.3))
+    assert(banded.subsetOf(exhaustive),
+      s"banding invented pairs: ${banded -- exhaustive}")
+    // identical texts have identical signatures -> collide in every band:
+    // the high-similarity end must never be lost to the prefilter
+    val exactDups = keyed(NgramJaccard.pairs(docs, 5, 0.999))
+    assert(exactDups.subsetOf(banded),
+      s"banding lost exact dups: ${exactDups -- banded}")
+  }
+
   test("connected components: chains collapse to one cluster under min label") {
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // chain 1-2-3, pair 5-6, singleton 4
