@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM; at 8g the old-gen
+  // fills with shuffle/broadcast state across a 64-query bench run and
+  // GC pressure inflated late-query timings 2-5x (BENCH_r06). The box
+  // has 128 GiB; 24g keeps full-bench GC time negligible.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -25,6 +25,18 @@ import org.apache.spark.sql.SparkSession
   * read, not the query (r3 reported d3 at 1.8s vs 10.2s cold).
   * SPARK_GRAFT_ONLY=a,b,c restricts the set (dev loop for profiling
   * individual queries).
+  *
+  * Cross-query isolation (r6 postmortem): sixteen queries "regressed"
+  * 1.3-2x in BENCH_r06 with no code change, and q37 reported 5x its
+  * isolated cost, because 60+ predecessors in the shared JVM leave
+  * behind (a) warehouse tables + metastore state from saveAsTable,
+  * (b) shuffle files and broadcast blocks that Spark's ContextCleaner
+  * only reclaims when their driver-side handles are GC'd, and (c) an
+  * old-gen full of dead plan state forcing GC pauses into the measured
+  * window. `hygiene()` before every timed run drops leftover tables,
+  * clears the cache, and forces a full GC (which is also what triggers
+  * the ContextCleaner); the heap default is sized (build.sbt, 24g) so
+  * collection stays out of the timed window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,12 +58,20 @@ object Bench {
     // measured query doesn't pay session bring-up
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    // restore the JVM to a common baseline before every timed run — see
+    // the class doc ("Cross-query isolation"); runs outside the window
+    def hygiene(): Unit = {
+      spark.catalog.listTables().collect()
+        .filterNot(_.isTemporary)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val secs = (1 to runs).map { _ =>
-        // drop every cached plan from prior runs/queries so each timing
-        // is a cold run of the full plan (not a CacheManager hit)
-        spark.catalog.clearCache()
+        // cold-plan guarantee (no CacheManager hit) + cross-query reset
+        hygiene()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

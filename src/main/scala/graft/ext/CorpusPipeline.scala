@@ -15,15 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** The corpus text spread across every core, cached.
+    *
+    * The curation stages are CPU-bound per-row work (multi-regex quality/
+    * lang scoring, shingling, min-hashing), so their parallelism is the
+    * parallelism of the text SOURCE — and a small-file corpus (one
+    * unsplittable parquet row group at bench scale; any cluster whose
+    * input splits < cores) pins all of it to one task. Redistributing the
+    * raw (doc_id, text) rows round-robin first makes every downstream
+    * scan corpus-parallel. The cache is ALSO the load-bearing barrier:
+    * filters on computed columns are deterministic, so without it
+    * Catalyst's pushdown would drag them through the exchange back into
+    * the single-split scan task. At 100 TB the input has thousands of
+    * splits and this is a no-op shuffle of (doc_id, text) — the standard
+    * "spread a hot narrow input before expensive per-row compute" move,
+    * paid once per pipeline.
+    */
+  def spreadText(documents: DataFrame): DataFrame =
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .cache()
+
   def curate(documents: DataFrame, minQuality: Double = 0.8,
              lang: String = "en", jaccard: Double = 0.5): DataFrame = {
-    val quality = TextStats.qualityScore(documents)
+    val spread = spreadText(documents)
+    val quality = TextStats.qualityScore(spread)
       .select(col("doc_id"), col("n_words"), col("quality_score"))
-    val langs = TextStats.langId(documents)
+    val langs = TextStats.langId(spread)
       .select(col("doc_id"), col("predicted_lang"))
     val comp = DedupClusters.components(
-      documents, MinHashDedup.verifiedPairs(documents, 5, jaccard))
-    documents.select(col("doc_id"))
+      spread, MinHashDedup.verifiedPairs(spread, 5, jaccard))
+    spread.select(col("doc_id"))
       .join(quality, "doc_id")
       .join(langs, "doc_id")
       .join(comp, "doc_id")
@@ -52,18 +74,34 @@ object CorpusPipeline {
     // narrow filtered scan — no scored-frame self-joins (measured 2s
     // SLOWER than curate() at sf0.1 in the joined formulation; the whole
     // point of filter-first is that rejects never reach a shuffle).
-    // Cached because it feeds the signature scan, the gram scan, and the
-    // final rep filter.
-    val survivors = documents
-      .select(col("doc_id"), col("text"),
-        TextStats.nWordsCol(col("text")).as("n_words"),
-        TextStats.qualityScoreCol(col("text")).as("quality_score"),
-        TextStats.predictedLangCol(col("text")).as("predicted_lang"))
-      .filter(col("quality_score") >= minQuality && col("predicted_lang") === lang)
+    // ONE text pass for the whole pipeline, every regex evaluated ONCE.
+    // The survivor predicate is a ~6-regex scan (~2.4s of the r6 query's
+    // 6s at sf0.1, ProfileC2 harness), and expressing it as
+    // .filter(qualityScoreCol(...) ...) recomputes those regexes in
+    // every operator that mentions them — subexpression elimination
+    // works within one Project, never across a Filter/Project boundary,
+    // and Catalyst's pushdown re-inlines computed-column predicates into
+    // the scan. So: derive ALL per-row state (stats, lang, MinHash
+    // signature, gram array) in a single projection, cache it without
+    // the text column, and filter on the STORED columns — a predicate
+    // over an InMemoryRelation reads cached values instead of
+    // re-deriving them. Sig/grams for rejected docs are wasted per-row
+    // CPU (~25% at this corpus's rejection rate) but never reach a
+    // shuffle; at high rejection rates a second filtered text pass wins
+    // instead — that trade re-pays the regex pass, so it starts losing
+    // below ~50% rejection.
+    val prepAll = MinHashDedup.prepared(
+      spreadText(documents)
+        .select(col("doc_id"), col("text"),
+          TextStats.nWordsCol(col("text")).as("n_words"),
+          TextStats.qualityScoreCol(col("text")).as("quality_score"),
+          TextStats.predictedLangCol(col("text")).as("predicted_lang")))
       .cache()
+    val prep = prepAll.filter(
+      col("quality_score") >= minQuality && col("predicted_lang") === lang)
     val comp = DedupClusters.components(
-      survivors, MinHashDedup.verifiedPairs(survivors, 5, jaccard))
-    survivors
+      prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
+    prep
       .join(comp, "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("n_words"), col("quality_score"))

@@ -108,14 +108,62 @@ object MinHashDedup {
     * loop per doc) — sharing ONE scan between signatures and grams via a
     * cache or a fused aggregate was tried and measured slower than two
     * independent narrow scans; with both sides now native expressions
-    * the second scan is cheap.
+    * the second scan is cheap. (When the INPUT rows are expensive to
+    * produce — a multi-regex survivor filter in front — that math flips:
+    * use [[prepared]] + [[verifiedPairsFromPrepared]] instead.)
     */
   def verifiedPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.5,
                     bucketCap: Int = 50): DataFrame = {
     val g = documents.select(
       col("doc_id"), graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .cache()   // joined twice (doc_a / doc_b sides)
-    candidatePairs(documents, n, bucketCap)
+    verify(candidatePairs(documents, n, bucketCap), g, threshold)
+  }
+
+  /** Per-doc dedup state in ONE text scan: the MinHash signature array
+    * and the sorted hashed-gram array (both null for docs shorter than
+    * `n` chars — no shingles, can never pair), with every other input
+    * column EXCEPT `text` passed through. For callers whose rows are
+    * expensive to produce — [[CorpusPipeline.curateFiltered]]'s survivor
+    * predicate is a ~6-regex pass that dominated its r6 cost when
+    * recomputed per downstream scan — derive everything once, cache this
+    * frame (narrow: no text; the gram array is the same one
+    * [[verifiedPairs]] caches corpus-wide anyway), and feed it to
+    * [[verifiedPairsFromPrepared]].
+    */
+  def prepared(documents: DataFrame, n: Int = 5): DataFrame = {
+    val passthrough = documents.columns.filterNot(_ == "text").map(col).toSeq
+    val shingled = length(col("text")) >= n
+    documents.select(passthrough ++ Seq(
+      when(shingled,
+        graft.functions.MinHashSignature.of(col("text"), n, numHashes, P)).as("sig"),
+      when(shingled,
+        graft.functions.HashedNgrams.of(col("text"), n)).as("grams")): _*)
+  }
+
+  /** [[verifiedPairs]] over a [[prepared]] frame (cache it first — every
+    * stage below reads it at least once). Emits the identical pair set:
+    * banding element_at's the signature array instead of re-deriving
+    * sig_j columns, and the verify joins read the prepared gram arrays.
+    */
+  def verifiedPairsFromPrepared(prep: DataFrame, threshold: Double = 0.5,
+                                bucketCap: Int = 50): DataFrame = {
+    val withSig = prep.filter(col("sig").isNotNull)
+    val bandKeys = (0 until bandsCount).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val banded = withSig
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    verify(pairsFromBuckets(banded, col("band"), col("band_key"), bucketCap),
+      withSig.select(col("doc_id"), col("grams")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a
+    * `(doc_id, grams)` side (shared by both pair entry points).
+    */
+  private def verify(candidates: DataFrame, g: DataFrame, threshold: Double): DataFrame =
+    candidates
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
       .withColumn("n_inter",
@@ -125,7 +173,6 @@ object MinHashDedup {
           (size(col("grams_a")) + size(col("grams_b")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Oracle CTE builders take the source relation name so filtered
     * variants ([[CorpusPipeline.curateFiltered]]) can replay the same

@@ -117,15 +117,19 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => MinHashDedup.signatureStrings(Catalog(s, d).documents)),
       Some(MinHashDedup.signaturesOracle(5))),
 
-    // MinHash LSH banding -> candidates -> exact-Jaccard verify
+    // MinHash LSH banding -> candidates -> exact-Jaccard verify; the
+    // text source is spread first (CorpusPipeline.spreadText) so the
+    // shingle/min-hash scans parallelize past the single input split
     "d3_minhash_pairs" -> (
-      ((s: SparkSession, d: String) => MinHashDedup.verifiedPairs(Catalog(s, d).documents, 5, 0.5)),
+      ((s: SparkSession, d: String) =>
+        MinHashDedup.verifiedPairs(CorpusPipeline.spreadText(Catalog(s, d).documents), 5, 0.5)),
       Some(MinHashDedup.verifiedPairsOracle(5, 0.5))),
 
     // blocked n-gram Jaccard near-dup pairs with the MinHash-band
     // prefilter bounding the exact-intersect volume (the scale form)
     "d4_ngram_jaccard" -> (
-      ((s: SparkSession, d: String) => NgramJaccard.pairsBanded(Catalog(s, d).documents, 5, 0.3)),
+      ((s: SparkSession, d: String) =>
+        NgramJaccard.pairsBanded(CorpusPipeline.spreadText(Catalog(s, d).documents), 5, 0.3)),
       Some(NgramJaccard.bandedOracle(5, 0.3))),
 
     // the exhaustive (no-banding) form stays gated too — correctness-only,
@@ -152,7 +156,7 @@ object ExtensionQueries {
     // pairs (iterative min-label propagation; recursive-CTE oracle)
     "d8_dup_clusters" -> (
       ((s: SparkSession, d: String) => {
-        val docs = Catalog(s, d).documents
+        val docs = CorpusPipeline.spreadText(Catalog(s, d).documents)
         DedupClusters.clusters(docs, MinHashDedup.verifiedPairs(docs, 5, 0.5))
       }),
       Some(DedupClusters.clustersOracle(MinHashDedup.verifiedPairsOracle(5, 0.5)))),
