@@ -15,10 +15,11 @@ import org.apache.spark.sql.SparkSession
   * a crashing query can never masquerade as a fast successful run, and
   * its name is listed under "errors".
   *
-  * Timing is min-of-N (SPARK_GRAFT_RUNS, default 2): single-run timings
-  * in a shared JVM moved ±40% round-over-round with no code change, so
-  * one extra run per query separates signal from JIT/GC noise while
-  * keeping the wall clock bounded. The cache is cleared before EVERY
+  * Timing is min-of-N (SPARK_GRAFT_RUNS, default 3): single-run timings
+  * in a shared JVM moved ±40% round-over-round with no code change, and
+  * with min-of-2 sub-second queries still disagreed 1.2-1.5x between
+  * back-to-back full runs; min-of-3 keeps per-query jitter ~10% at a
+  * wall-clock cost the hygiene fix already paid back 2x over. The cache is cleared before EVERY
   * timed run: several queries `.cache()` an intermediate frame, and
   * without the clear, run 2 of an identical plan is served from run 1's
   * cache by Spark's CacheManager — the min would then report a warm-cache
@@ -43,7 +44,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "target")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

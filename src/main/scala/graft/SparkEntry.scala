@@ -54,7 +54,7 @@ object SparkEntry {
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "mm1_multimodal", "mm2_frame_sample",
-    "e1_hourly_events", "e2_sessionize", "e3_session_window",
+    "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

@@ -64,15 +64,57 @@ object MinHashDedup {
     * [[SimHash.pairs]] does for its block buckets (standard LSH practice;
     * the oracle applies the identical cap).
     */
-  def candidatePairs(documents: DataFrame, n: Int = 5, bucketCap: Int = 50): DataFrame = {
+  def candidatePairs(documents: DataFrame, n: Int = 5, bucketCap: Int = 50): DataFrame =
+    pairsFromBuckets(bandedSignatures(documents, n), col("band"), col("band_key"), bucketCap)
+
+  /** The banded signature frame (doc_id, band, band_key) candidate
+    * generation buckets on.
+    */
+  private[ext] def bandedSignatures(documents: DataFrame, n: Int): DataFrame = {
     val sigs = signatures(documents, n)
     val bandKeys = (0 until bandsCount).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
     }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-    pairsFromBuckets(banded, col("band"), col("band_key"), bucketCap)
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
+
+  /** Candidate-volume telemetry: the distribution of LSH bucket sizes
+    * and the raw pair volume each size class would generate, with the
+    * classes the stop-bucket cap drops flagged. This is how `bucketCap`
+    * (and `bits`/band geometry) get tuned at a NEW scale factor with
+    * data instead of guesses — dev loop:
+    *
+    * {{{
+    * MinHashDedup.candidateBucketHistogram(docs).show()
+    * // bucket_size | n_buckets | candidate_pairs | dropped_by_cap
+    * // pick the smallest cap whose dropped classes carry ~no real dups
+    * }}}
+    *
+    * `candidate_pairs` counts each bucket's C(size, 2) BEFORE the
+    * cross-band distinct, so it upper-bounds (never underestimates) the
+    * verify-stage volume — the safe direction for capacity planning.
+    */
+  def candidateBucketHistogram(documents: DataFrame, n: Int = 5,
+                               bucketCap: Int = 50): DataFrame =
+    bucketHistogram(bandedSignatures(documents, n), col("band"), col("band_key"), bucketCap)
+
+  /** Size histogram of the (bucket, key) groups `pairsFromBuckets`
+    * collects (shared by every pair generator's telemetry).
+    */
+  private[ext] def bucketHistogram(members: DataFrame, bucket: Column, key: Column,
+                                   bucketCap: Int): DataFrame =
+    members
+      .groupBy(bucket, key)
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(
+        col("bucket_size"),
+        col("n_buckets"),
+        (col("n_buckets") * col("bucket_size") * (col("bucket_size") - 1) / lit(2))
+          .cast("long").as("candidate_pairs"),
+        (col("bucket_size") > bucketCap).as("dropped_by_cap"))
+      .orderBy(col("bucket_size"))
 
   /** Bucket members -> unordered candidate pairs (a < b), with the
     * stop-bucket cap applied on bucket SIZE.

@@ -25,25 +25,30 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Lane width for the packed bit-count aggregate: each hex digit's
-    * 4 bits are spread into 4 lanes of 15 bits inside one long, so 16
-    * packed sums replace 64 per-bit sums. Sound while every doc has
-    * fewer than 2^15 = 32768 tokens (max packed sum ~2^60, no signed
+  /** Default lane width for the packed bit-count aggregate: each hex
+    * digit's 4 bits are spread into 4 lanes of 15 bits inside one long,
+    * so 16 packed sums replace 64 per-bit sums. Sound while every doc
+    * has fewer than 2^15 = 32768 tokens (max packed sum ~2^60, no signed
     * overflow in either engine); the 100-TB variant with million-token
-    * docs widens to 30-bit lanes (2 per long, 32 aggregates).
+    * docs widens to 30-bit lanes (2 per long, 32 aggregates) — pass
+    * `laneBits = 30` to [[fingerprintsRelational]], which derives the
+    * lane layout for any width (ExtSpec pins 30-bit == 15-bit == the
+    * native expression).
     *
     * The precondition is ENFORCED, not just documented: a doc at or above
-    * 2^15 tokens would carry per-bit counts into the adjacent lane and —
-    * because the oracle replays the identical packed arithmetic — corrupt
-    * fingerprints invisibly to the parity check. Both engines raise an
-    * error on such a doc ([[fingerprints]] via `raise_error`, the oracle
-    * via DuckDB `error()`).
+    * 2^laneBits tokens would carry per-bit counts into the adjacent lane
+    * and — because the oracle replays the identical packed arithmetic —
+    * corrupt fingerprints invisibly to the parity check. Both engines
+    * raise an error on such a doc ([[fingerprints]] via `raise_error`,
+    * the oracle via DuckDB `error()`).
     */
   val laneBits = 15
   private val laneMask = (1L << laneBits) - 1
   private val maxTokens = 1L << laneBits
 
-  /** Digit value v (0..15) -> its 4 bits spread to the 4 lanes. */
+  /** Digit value v (0..15) -> its 4 bits spread to the 4 lanes (15-bit
+    * default layout; the oracle SQL embeds this exact table).
+    */
   private val laneEncoding: IndexedSeq[Long] = (0 until 16).map { v =>
     (0 until 4).map(b => ((v >> b) & 1).toLong << (laneBits * b)).sum
   }
@@ -77,27 +82,51 @@ object SimHash {
     * each bit after the aggregate. Integer sums are order-independent,
     * so the DuckDB oracle matches bit-for-bit.
     */
-  private[graft] def fingerprintsRelational(documents: DataFrame): DataFrame = {
+  private[graft] def fingerprintsRelational(documents: DataFrame,
+                                            laneBits: Int = SimHash.laneBits): DataFrame = {
+    // lane geometry derived from the width: how many lanes fit in the 63
+    // non-sign bits of a long, and how many longs a digit's 4 bits need
+    // (15 -> 4 lanes/long, 1 long/digit; 30 -> 2 lanes/long, 2 longs/digit)
+    val lanesPerLong = 63 / laneBits
+    require(lanesPerLong >= 1, s"laneBits $laneBits exceeds a long's capacity")
+    val longsPerDigit = (4 + lanesPerLong - 1) / lanesPerLong
+    val mask = (1L << laneBits) - 1
+    val maxToks = 1L << laneBits
+    // one encoding table per long-slot: digit value v -> v's bits that
+    // live in that slot, each shifted to its lane
+    val encodings: Seq[IndexedSeq[Long]] = (0 until longsPerDigit).map { li =>
+      (0 until 16).map { v =>
+        (0 until 4).filter(b => b / lanesPerLong == li)
+          .map(b => ((v >> b) & 1).toLong << (laneBits * (b % lanesPerLong))).sum
+      }
+    }
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .withColumn("h", md5(col("token").cast("binary")))
-    val encArr = array(laneEncoding.map(lit): _*)
     val withPacked = (0 until 16).foldLeft(toks) { (df, d) =>
-      df.withColumn(s"e_$d",
-        element_at(encArr, conv(substring(col("h"), d + 1, 1), 16, 10).cast("int") + 1))
+      encodings.zipWithIndex.foldLeft(df) { case (df2, (enc, li)) =>
+        df2.withColumn(s"e_${d}_$li",
+          element_at(array(enc.map(lit): _*),
+            conv(substring(col("h"), d + 1, 1), 16, 10).cast("int") + 1))
+      }
     }
-    val aggs = count(lit(1)).as("n") +: (0 until 16).map(d => sum(col(s"e_$d")).as(s"p_$d"))
+    val aggs = count(lit(1)).as("n") +:
+      (for { d <- 0 until 16; li <- 0 until longsPerDigit }
+        yield sum(col(s"e_${d}_$li")).as(s"p_${d}_$li"))
     val sums = withPacked.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bitChars = (0 until 64).map { b =>
-      val cnt = shiftright(col(s"p_${b / 4}"), laneBits * (b % 4)).bitwiseAND(lit(laneMask))
+    val bitChars = (0 until 64).map { j =>
+      val d = j / 4
+      val b = j % 4
+      val cnt = shiftright(col(s"p_${d}_${b / lanesPerLong}"), laneBits * (b % lanesPerLong))
+        .bitwiseAND(lit(mask))
       when(cnt * 2 > col("n"), lit("1")).otherwise(lit("0"))
     }
-    val guarded = when(col("n") >= lit(maxTokens),
+    val guarded = when(col("n") >= lit(maxToks),
       raise_error(concat(
         lit("simhash lane overflow: doc "), col("doc_id").cast("string"),
         lit(" has "), col("n").cast("string"),
-        lit(s" tokens (limit ${maxTokens - 1}); widen laneBits"))).cast("string"))
+        lit(s" tokens (limit ${maxToks - 1}); widen laneBits"))).cast("string"))
       .otherwise(concat(bitChars: _*))
     sums.select(col("doc_id"), guarded.as("simhash"))
   }

@@ -18,14 +18,43 @@ object Recommender {
       .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
       .agg(sum(col("l_quantity")).cast("float").as("rating"))
 
+  private def als(seed: Long): ALS = new ALS()
+    .setMaxIter(10).setRegParam(0.1).setImplicitPrefs(true)
+    .setColdStartStrategy("drop").setSeed(seed)
+    .setUserCol("user").setItemCol("item").setRatingCol("rating")
+
   def topN(orders: DataFrame, lineitem: DataFrame, n: Int = 5, seed: Long = 42L): DataFrame = {
-    val als = new ALS()
-      .setMaxIter(10).setRegParam(0.1).setImplicitPrefs(true)
-      .setColdStartStrategy("drop").setSeed(seed)
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-    val model = als.fit(ratings(orders, lineitem))
+    val model = als(seed).fit(ratings(orders, lineitem))
     model.recommendForAllUsers(n)
       .select(col("user"), explode(col("recommendations")).as("rec"))
       .select(col("user"), col("rec.item").as("item"), col("rec.rating").as("score"))
+  }
+
+  /** Deterministic held-out ranking quality for the ALS fit: split the
+    * rating matrix content-stably (md5("user:item") mod 100, the
+    * engine's [[graft.ext.TextStats.hashSplit]] scheme — reproducible
+    * across runs, partitionings and cluster sizes, unlike
+    * `randomSplit`), fit on the ~80% train side with the pinned seed,
+    * and return hit-rate@n: the fraction of held-out (user, item)
+    * interactions that appear in the model's top-n for that user. The
+    * quality band MlSpec asserts on this is the ALS twin of the churn
+    * AUC / segmentation silhouette bands — a silent model break fails
+    * the suite instead of surviving as a plausible row count.
+    */
+  def holdoutHitRate(orders: DataFrame, lineitem: DataFrame, n: Int = 5,
+                     seed: Long = 42L, trainPct: Int = 80): Double = {
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", col("user"), col("item")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(100L))
+    val withBucket = ratings(orders, lineitem).withColumn("bucket", bucket).cache()
+    val train = withBucket.filter(col("bucket") < trainPct).drop("bucket")
+    val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
+    val model = als(seed).fit(train)
+    val recs = model.recommendForAllUsers(n)
+      .select(col("user"), explode(col("recommendations.item")).as("item"))
+    val hits = test.join(recs, Seq("user", "item"), "left_semi").count()
+    val total = test.count()
+    withBucket.unpersist()
+    if (total == 0) 0.0 else hits.toDouble / total
   }
 }

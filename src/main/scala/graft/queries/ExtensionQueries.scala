@@ -263,6 +263,27 @@ object ExtensionQueries {
     // native session_window sessionization (batch/stream-identical form)
     "e3_session_window" -> (
       ((s: SparkSession, d: String) => Events.sessionWindows(Catalog(s, d).events, 30)),
-      Some(Events.sessionWindowsOracle(30)))
+      Some(Events.sessionWindowsOracle(30))),
+
+    // arbitrary stateful streaming (mapGroupsWithState) driven to
+    // completion: the update log's final per-user state must equal the
+    // batch per-user aggregate (value total on the 1e-4 integer grid so
+    // the running sum is arrival-order-independent)
+    "e4_stateful_totals" -> (
+      ((s: SparkSession, d: String) => {
+        // the file-stream source requires a DIRECTORY; stage the events
+        // table into a per-sf scratch dir (deterministic path, overwrite)
+        val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_io", s"e4_events_${math.abs(d.hashCode)}")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.streaming.EventStream.runStatefulToCompletion(s, dir.toString)
+      }),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 }

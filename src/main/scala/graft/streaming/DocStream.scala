@@ -72,6 +72,7 @@ object DocStream {
       .dropDuplicatesWithinWatermark("digest")
 
   private def runToCompletion(df: DataFrame, queryName: String): DataFrame = {
+    df.sparkSession.catalog.dropTempView(queryName)   // stale sink from a prior run
     val q: StreamingQuery = df.writeStream
       .outputMode("append")
       .format("memory")
@@ -91,4 +92,24 @@ object DocStream {
 
   def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(dedupByDigest(readStream(spark, dir)), "graft_doc_dedup")
+
+  /** The production BOUNDED-state dedup ([[dedupWithinWatermark]]) as one
+    * end-to-end call over a static directory. The corpus source carries
+    * no event time, so a deterministic one is stamped from doc_id (one
+    * second per doc) before the watermark — a live deployment stamps
+    * arrival time at ingest instead. With the default 1-hour horizon a
+    * whole sf0.1 corpus (5000 docs -> a ~83-minute stamped span) still
+    * exercises eviction, while every true duplicate pair in the test
+    * corpora lands within the horizon and is dropped.
+    */
+  def runWatermarkDedupToCompletion(spark: SparkSession, dir: String,
+                                    horizon: String = "1 hour"): DataFrame = {
+    // the +1 day offset keeps every stamped time strictly above the
+    // INITIAL watermark (epoch 0) — doc_id 0 would otherwise stamp to
+    // exactly the watermark and be dropped as late before reaching the
+    // dedup state
+    val stamped = readStream(spark, dir)
+      .withColumn("event_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+    runToCompletion(dedupWithinWatermark(stamped, "event_ts", horizon), "graft_doc_wdedup")
+  }
 }

@@ -52,23 +52,56 @@ object EventStream {
   /** Arbitrary stateful streaming (`mapGroupsWithState`): per-user running
     * totals maintained across micro-batches — the engine's
     * `KeyValueGroupedDataset` custom-state surface (north-star §2.11).
+    *
+    * The value total accumulates on the 1e-4 integer grid (a long count
+    * of `floor(value * 10000)` quanta — the [[graft.functions.Exact]]
+    * strategy): integer addition is order-independent, so the final
+    * state hash-matches the batch oracle no matter how the shuffle
+    * orders each group's iterator, where a raw double running sum would
+    * drift by arrival order.
     */
   def runningUserTotals(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var v = v0
-          rows.foreach { r => n += 1; v += r._2 }
-          state.update((n, v))
-          (user, n, v)
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+          val (n0, q0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var q = q0
+          rows.foreach { r => n += 1; q += math.floor(r._2 * 10000d).toLong }
+          state.update((n, q))
+          (user, n, q / 10000.0)
       }
       .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Drive [[runningUserTotals]] to completion over a static directory
+    * (update-mode memory sink — `mapGroupsWithState` with no timeout
+    * cannot run in complete mode) and reduce the update log to each
+    * user's FINAL state: `n_events` strictly grows per user, so
+    * `max_by(total_value, n_events)` picks the last update
+    * deterministically. The result equals the batch per-user aggregate —
+    * the CORRECTNESS gate for the stateful-streaming operator family.
+    */
+  def runStatefulToCompletion(spark: SparkSession, dir: String,
+                              queryName: String = "graft_state_e4"): DataFrame = {
+    spark.catalog.dropTempView(queryName)   // stale sink table from a prior run
+    val q: StreamingQuery = runningUserTotals(readStream(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("total_value"), col("n_events")).as("total_value"))
   }
 
   /** Run the hourly aggregate over a static directory to completion via

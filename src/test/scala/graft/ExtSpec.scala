@@ -75,6 +75,31 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(est(sigs(1L), sigs(3L)) < 0.3)   // unrelated
   }
 
+  test("bucket histogram: exact counts on a crafted corpus; volume bounds the pair stage") {
+    // three identical docs: every one of the 16 bands has ONE bucket of
+    // size 3 -> histogram is a single (3, 16, 48, not-dropped) row
+    val trip = Seq.tabulate(3)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val h = MinHashDedup.candidateBucketHistogram(trip).collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Long]("bucket_size") == 3L)
+    assert(h.head.getAs[Long]("n_buckets") == 16L)
+    assert(h.head.getAs[Long]("candidate_pairs") == 48L)
+    assert(!h.head.getAs[Boolean]("dropped_by_cap"))
+    // real corpus: surviving (un-dropped) raw volume upper-bounds the
+    // distinct candidate set the pair generator emits
+    val docs = Catalog(spark, sf).documents
+    val hist = MinHashDedup.candidateBucketHistogram(docs, 5, 50).collect()
+    val surviving = hist.filter(!_.getAs[Boolean]("dropped_by_cap"))
+      .map(_.getAs[Long]("candidate_pairs")).sum
+    assert(surviving >= MinHashDedup.candidatePairs(docs, 5, 50).count())
+    // a cap of 1 drops every multi-member bucket
+    assert(MinHashDedup.candidateBucketHistogram(trip, 5, 1)
+      .collect().forall(r => r.getAs[Boolean]("dropped_by_cap") ||
+        r.getAs[Long]("bucket_size") <= 1))
+  }
+
   test("simhash: identical docs share fingerprints; near-dups are close in Hamming") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

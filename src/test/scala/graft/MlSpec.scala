@@ -65,6 +65,15 @@ class MlSpec extends AnyFunSuite with SharedSpark {
       s"ALS coverage drifted: $nRecs recs / $nUsers users (measured 450/150)")
     val perUser = recs.groupBy("user").count().collect()
     assert(perUser.nonEmpty && perUser.forall(_.getAs[Long]("count") <= 3))
+    // fit QUALITY band (not just coverage): deterministic hash-split
+    // holdout, hit-rate@5 of held-out interactions in the model's top-5
+    val hitRate = Recommender.holdoutHitRate(c.orders, c.lineitem, 5)
+    collected += "als_holdout_hit_rate" -> hitRate
+    // measured 0.0242 at sf0.001 with seed 42 — ~10x the random-recs
+    // baseline (5 / ~2000 items), so a silent model break (lost seed,
+    // feature drift, degenerate factors) lands far outside the band
+    assert(hitRate > 0.005 && hitRate < 0.10,
+      s"ALS holdout hit-rate $hitRate outside [0.005, 0.10] (measured 0.0242)")
     ModelMetrics.write("MODEL_METRICS.json", collected.toMap)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get("MODEL_METRICS.json")))
   }

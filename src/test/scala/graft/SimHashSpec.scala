@@ -25,6 +25,28 @@ class SimHashSpec extends AnyFunSuite with SharedSpark {
     assert(native.contains(9003L))
   }
 
+  test("wide 30-bit lanes (million-token layout) == 15-bit lanes == native") {
+    val docs = Catalog(spark, sf).documents.limit(100)
+    val narrow = SimHash.fingerprintsRelational(docs, laneBits = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wide = SimHash.fingerprintsRelational(docs, laneBits = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = SimHash.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wide == narrow && wide == native)
+  }
+
+  test("wide lanes raise the token guard at their own (higher) limit") {
+    import spark.implicits._
+    // 40k tokens: overflows 15-bit lanes (2^15 = 32768) but fits 30-bit
+    val big = Seq((1L, Seq.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception](SimHash.fingerprintsRelational(big, laneBits = 15).collect())
+    assert(e.getMessage.contains("lane overflow") ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("lane overflow"))))
+    val wide = SimHash.fingerprintsRelational(big, laneBits = 30).collect()
+    assert(wide.length == 1 && wide.head.getString(1).length == 64)
+  }
+
   test("token-count guard raises identically to the packed formulation's overflow") {
     val big = Seq((1L, Seq.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
     val e = intercept[Exception](SimHash.fingerprints(big).collect())

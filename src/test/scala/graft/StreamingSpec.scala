@@ -87,4 +87,20 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // every surviving row is a real document row
     assert(streamed.drop("digest").exceptAll(docs).isEmpty)
   }
+
+  test("watermark-dedup runner drives the bounded-state path end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docwdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val streamed =
+      graft.streaming.DocStream.runWatermarkDedupToCompletion(spark, dir.toString)
+    val docs = Catalog(spark, sf).documents
+    // the corpus arrives as ONE micro-batch, so every duplicate lands
+    // inside the horizon: result == exact distinct-content dedup
+    val distinctContents = docs.select(org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.col("text").cast("binary"))).distinct().count()
+    assert(streamed.count() == distinctContents)
+    assert(streamed.drop("digest", "event_ts").exceptAll(docs).isEmpty)
+  }
 }
