@@ -90,8 +90,14 @@ object CorpusPipeline {
     // shuffle; at high rejection rates a second filtered text pass wins
     // instead — that trade re-pays the regex pass, so it starts losing
     // below ~50% rejection.
+    // bare repartition (no spreadText cache): prepAll is the ONLY
+    // consumer of the spread rows, so caching them would materialize the
+    // text once for a single read; the pushdown barrier spreadText's
+    // cache provides elsewhere is prepAll's own cache here (the survivor
+    // filter sits above it, on stored columns)
     val prepAll = MinHashDedup.prepared(
-      spreadText(documents)
+      documents
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"),
           TextStats.nWordsCol(col("text")).as("n_words"),
           TextStats.qualityScoreCol(col("text")).as("quality_score"),
