@@ -13,11 +13,31 @@ import org.apache.spark.sql.functions._
   * size. Regexes are restricted to a dialect-portable subset (character
   * classes, `\S`, `\b`) so the same pattern means the same thing to Java
   * regex (Spark) and RE2 (DuckDB oracle).
+  *
+  * Counting runs through the native [[graft.functions.RegexCounts]]
+  * expression — one string materialization + one find() pass per
+  * pattern GROUP per row, no match-list allocation — while the oracle
+  * keeps the `len(regexp_extract_all(...))` form; RegexCountsSpec pins
+  * the two formulations equal on the real corpus.
   */
 object TextStats {
 
-  private def countMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
+  /** The three quality counts, fetched from ONE RegexCounts pass (the
+    * identical subtree is shared by subexpression elimination when a
+    * projection needs several of them).
+    */
+  private def qualityCounts(text: Column): (Column, Column, Column) = {
+    val c = graft.functions.RegexCounts.of(
+      text, Seq("\\S+", stopwordPattern, "[^A-Za-z0-9 ]"))
+    (element_at(c, 1), element_at(c, 2), element_at(c, 3))
+  }
+
+  /** The three language marker counts from one pass over lower(text). */
+  private def langCounts(text: Column): (Column, Column, Column) = {
+    val c = graft.functions.RegexCounts.of(lower(text),
+      Seq("\\b(the|and|of|to|is)\\b", "\\b(el|la|de|que|es)\\b", "\\b(le|la|de|et|est)\\b"))
+    (element_at(c, 1), element_at(c, 2), element_at(c, 3))
+  }
 
   /** BPE-ish subword proxy: letter runs, digit runs, or single punctuation
     * marks — the usual pre-tokenizer split that upper-bounds BPE tokens.
@@ -27,14 +47,16 @@ object TextStats {
   /** Per-document token counts: whitespace tokens + BPE-ish tokens +
     * chars-per-token ratio.
     */
-  def tokenCounts(documents: DataFrame): DataFrame =
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val c = graft.functions.RegexCounts.of(col("text"), Seq("\\S+", bpeishPattern))
     documents.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
-      countMatches(col("text"), "\\S+").as("n_words"),
-      countMatches(col("text"), bpeishPattern).as("n_bpeish_tokens"))
+      element_at(c, 1).as("n_words"),
+      element_at(c, 2).as("n_bpeish_tokens"))
       .withColumn("chars_per_word",
         when(col("n_words") > 0, col("n_chars").cast("double") / col("n_words")).otherwise(lit(0.0)))
+  }
 
   val tokenCountsOracle: String =
     """SELECT doc_id,
@@ -50,8 +72,10 @@ object TextStats {
 
   /** Word count as a bare Column (shared by [[qualityScore]] and the
     * join-free survivor filters in [[CorpusPipeline.curateFiltered]]).
+    * Fetched from the quality triple so a projection computing both this
+    * and [[qualityScoreCol]] shares ONE counting pass via CSE.
     */
-  def nWordsCol(text: Column): Column = countMatches(text, "\\S+")
+  def nWordsCol(text: Column): Column = qualityCounts(text)._1
 
   /** The [[qualityScore]] `quality_score` expression as a bare Column:
     * per-row algebra, so filters can apply it in the SAME scan instead of
@@ -60,9 +84,7 @@ object TextStats {
     * inline these exact expressions.
     */
   def qualityScoreCol(text: Column): Column = {
-    val words = nWordsCol(text)
-    val stops = countMatches(text, stopwordPattern)
-    val punct = countMatches(text, "[^A-Za-z0-9 ]")
+    val (words, stops, punct) = qualityCounts(text)
     val stopRatio = when(words > 0, stops.cast("double") / words).otherwise(lit(0.0))
     val punctRatio = when(words > 0, punct.cast("double") / words).otherwise(lit(0.0))
     when(words < 5, lit(0.0)).otherwise(
@@ -75,9 +97,7 @@ object TextStats {
     * density — the standard cheap pre-filter for LLM training corpora.
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val words = countMatches(col("text"), "\\S+")
-    val stops = countMatches(col("text"), stopwordPattern)
-    val punct = countMatches(col("text"), "[^A-Za-z0-9 ]")
+    val (words, stops, punct) = qualityCounts(col("text"))
     documents.select(
       col("doc_id"),
       words.as("n_words"),
@@ -114,10 +134,7 @@ object TextStats {
     * rationale as [[qualityScoreCol]]: per-row, join-free filtering).
     */
   def predictedLangCol(text: Column): Column = {
-    def score(p: String) = countMatches(lower(text), p)
-    val en = score("\\b(the|and|of|to|is)\\b")
-    val es = score("\\b(el|la|de|que|es)\\b")
-    val fr = score("\\b(le|la|de|et|est)\\b")
+    val (en, es, fr) = langCounts(text)
     when(en >= es && en >= fr && en > 0, lit("en"))
       .when(es >= fr && es > 0, lit("es"))
       .when(fr > 0, lit("fr"))
@@ -129,10 +146,7 @@ object TextStats {
     * precedence (en > es > fr > unknown) so ties are deterministic.
     */
   def langId(documents: DataFrame): DataFrame = {
-    def score(p: String) = countMatches(lower(col("text")), p)
-    val en = score("\\b(the|and|of|to|is)\\b")
-    val es = score("\\b(el|la|de|que|es)\\b")
-    val fr = score("\\b(le|la|de|et|est)\\b")
+    val (en, es, fr) = langCounts(col("text"))
     documents.select(col("doc_id"), en.as("en_score"), es.as("es_score"), fr.as("fr_score"))
       .withColumn("predicted_lang",
         when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score") && col("en_score") > 0, lit("en"))
