@@ -30,30 +30,77 @@ object CorpusPipeline {
     * splits and this is a no-op shuffle of (doc_id, text) — the standard
     * "spread a hot narrow input before expensive per-row compute" move,
     * paid once per pipeline.
+    *
+    * LIFECYCLE: the returned frame is cached and NOT auto-released (its
+    * consumers are lazy). Long-lived sessions must `unpersist()` it when
+    * the derived results are materialized, or `spark.catalog.clearCache()`
+    * between pipelines. [[curate]]/[[curateFiltered]] manage their own
+    * caches and do not leak.
     */
   def spreadText(documents: DataFrame): DataFrame =
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .cache()
 
+  /** All per-row curation state in ONE text pass over the spread corpus:
+    * stats/lang (one RegexCounts pass each) + MinHash signature + sorted
+    * gram array, cached WITHOUT the text column. The survivor predicate
+    * is a ~6-regex scan; expressing it as `.filter(qualityScoreCol(...))`
+    * recomputes those regexes in every operator that mentions them —
+    * subexpression elimination works within one Project, never across a
+    * Filter/Project boundary, and Catalyst's pushdown re-inlines
+    * computed-column predicates into the scan. Deriving ALL per-row state
+    * in a single projection and caching the no-text frame means every
+    * downstream stage (filters, banding, verify joins, the component
+    * rounds' doc list) reads stored columns instead of re-running regex/
+    * shingle passes — the plan shape that made c2 fast in r7 and that
+    * r7's verdict prescribed for c1 (its spreadText-cached form re-ran
+    * every regex against cached full-width text, 5.0→6.9 s).
+    */
+  private def preparedCorpus(documents: DataFrame): DataFrame =
+    MinHashDedup.prepared(
+      documents
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          TextStats.nWordsCol(col("text")).as("n_words"),
+          TextStats.qualityScoreCol(col("text")).as("quality_score"),
+          TextStats.predictedLangCol(col("text")).as("predicted_lang")))
+      .cache()
+
+  /** Materialize the (narrow, already-filtered) curation result and
+    * release the pipeline's cache. `localCheckpoint` is eager, so by the
+    * time `unpersist` runs nothing lazy references the cached frame; the
+    * checkpointed rows are the curated output — the smallest frame in the
+    * whole pipeline — and their blocks are reclaimed by the
+    * ContextCleaner when the caller drops the result. Without this every
+    * curate call leaked a corpus-wide cached frame into the session
+    * (caches only, not correctness). Curation is already effectively
+    * eager — the component rounds run driver-side convergence actions —
+    * so this adds one tiny materialization, not a semantic change.
+    */
+  private def released(result: DataFrame, cache: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    cache.unpersist()
+    out
+  }
+
   def curate(documents: DataFrame, minQuality: Double = 0.8,
              lang: String = "en", jaccard: Double = 0.5): DataFrame = {
-    val spread = spreadText(documents)
-    val quality = TextStats.qualityScore(spread)
-      .select(col("doc_id"), col("n_words"), col("quality_score"))
-    val langs = TextStats.langId(spread)
-      .select(col("doc_id"), col("predicted_lang"))
+    // full-corpus representative semantics: components (and the pairs
+    // feeding them) run over ALL docs, so a survivor whose cluster rep
+    // was rejected is dropped — the quality/lang predicates apply AFTER
+    // the cluster join, on stored columns of the prepared frame
+    val prep = preparedCorpus(documents)
     val comp = DedupClusters.components(
-      spread, MinHashDedup.verifiedPairs(spread, 5, jaccard))
-    spread.select(col("doc_id"))
-      .join(quality, "doc_id")
-      .join(langs, "doc_id")
-      .join(comp, "doc_id")
-      .filter(
-        col("quality_score") >= minQuality &&
-        col("predicted_lang") === lang &&
-        col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
+    released(
+      prep.join(comp, "doc_id")
+        .filter(
+          col("quality_score") >= minQuality &&
+          col("predicted_lang") === lang &&
+          col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("n_words"), col("quality_score")),
+      prep)
   }
 
   /** Filter-first curation: quality + language predicates applied BEFORE
@@ -74,43 +121,24 @@ object CorpusPipeline {
     // narrow filtered scan — no scored-frame self-joins (measured 2s
     // SLOWER than curate() at sf0.1 in the joined formulation; the whole
     // point of filter-first is that rejects never reach a shuffle).
-    // ONE text pass for the whole pipeline, every regex evaluated ONCE.
-    // The survivor predicate is a ~6-regex scan (~2.4s of the r6 query's
-    // 6s at sf0.1, ProfileC2 harness), and expressing it as
-    // .filter(qualityScoreCol(...) ...) recomputes those regexes in
-    // every operator that mentions them — subexpression elimination
-    // works within one Project, never across a Filter/Project boundary,
-    // and Catalyst's pushdown re-inlines computed-column predicates into
-    // the scan. So: derive ALL per-row state (stats, lang, MinHash
-    // signature, gram array) in a single projection, cache it without
-    // the text column, and filter on the STORED columns — a predicate
-    // over an InMemoryRelation reads cached values instead of
-    // re-deriving them. Sig/grams for rejected docs are wasted per-row
-    // CPU (~25% at this corpus's rejection rate) but never reach a
-    // shuffle; at high rejection rates a second filtered text pass wins
-    // instead — that trade re-pays the regex pass, so it starts losing
-    // below ~50% rejection.
-    // bare repartition (no spreadText cache): prepAll is the ONLY
-    // consumer of the spread rows, so caching them would materialize the
-    // text once for a single read; the pushdown barrier spreadText's
-    // cache provides elsewhere is prepAll's own cache here (the survivor
-    // filter sits above it, on stored columns)
-    val prepAll = MinHashDedup.prepared(
-      documents
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"),
-          TextStats.nWordsCol(col("text")).as("n_words"),
-          TextStats.qualityScoreCol(col("text")).as("quality_score"),
-          TextStats.predictedLangCol(col("text")).as("predicted_lang")))
-      .cache()
+    // ONE text pass for the whole pipeline, every regex evaluated ONCE
+    // (see preparedCorpus — a predicate over the cached no-text frame
+    // reads stored values instead of re-deriving them). Sig/grams for
+    // rejected docs are wasted per-row CPU (~25% at this corpus's
+    // rejection rate) but never reach a shuffle; at high rejection rates
+    // a second filtered text pass wins instead — that trade re-pays the
+    // regex pass, so it starts losing below ~50% rejection.
+    val prepAll = preparedCorpus(documents)
     val prep = prepAll.filter(
       col("quality_score") >= minQuality && col("predicted_lang") === lang)
     val comp = DedupClusters.components(
       prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
-    prep
-      .join(comp, "doc_id")
-      .filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    released(
+      prep
+        .join(comp, "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("n_words"), col("quality_score")),
+      prepAll)
   }
 
   /** DuckDB twin of [[curateFiltered]]: the identical verified-pairs +

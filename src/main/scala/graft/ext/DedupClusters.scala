@@ -81,6 +81,10 @@ object DedupClusters {
         s"DedupClusters.components did not converge within $maxIter iterations: " +
           "some component's diameter exceeds maxIter; raise maxIter (labels would " +
           "otherwise silently diverge from min-reachable-doc_id semantics)")
+    // the converged labels are checkpointed/cached, so nothing lazy
+    // reads the edge list anymore — release it instead of leaking one
+    // cached edge frame per components() call into the session
+    edges.unpersist()
     documents.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -111,8 +111,14 @@ object MinHashDedup {
       .select(
         col("bucket_size"),
         col("n_buckets"),
-        (col("n_buckets") * col("bucket_size") * (col("bucket_size") - 1) / lit(2))
-          .cast("long").as("candidate_pairs"),
+        // integral throughout: `/ 2` (Divide) would round-trip the count
+        // through double and silently lose exactness above 2^53 — real
+        // territory for 100-TB upper-bound telemetry. `div` keeps it a
+        // long, exact to 2^63 (C(size,2) is even*odd/2, always integral);
+        // bucket sizes past ~4e9 docs per band key would overflow the
+        // inner product long before that and mean the banding is broken
+        (col("n_buckets") * expr("(bucket_size * (bucket_size - 1)) div 2"))
+          .as("candidate_pairs"),
         (col("bucket_size") > bucketCap).as("dropped_by_cap"))
       .orderBy(col("bucket_size"))
 

@@ -68,7 +68,47 @@ object IoQueries {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
   }
 
+  /** Composite sink roundtrip closing the minor-sink coverage (S6 single
+    * file + S11 stable rename, S7 JSON, S9 text): nation goes out as ONE
+    * stable-named CSV file (read back from that exact filename — the
+    * rename is load-bearing), region as JSON (schema re-inferred on
+    * read), and a nation-derived line format through the text sink
+    * (parsed back with split). The aggregate joins all three
+    * roundtripped frames, so a corruption in any sink breaks the hash;
+    * the oracle recomputes from the original parquet. Mirrors the
+    * reference's report outputs (`ProductRecommendation.java:79-108`,
+    * `SegmentationModel.java:156-171`).
+    */
+  private def sinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("sink")
+    val c = Catalog(s, d)
+    val csvFile = graft.sources.Writers.singleCsvFile(c.nation, tmp, "nation.csv")
+    val ncsv = CsvIo.read(s, csvFile, CsvIo.nationSchema)
+    graft.sources.Writers.json(c.region, s"$tmp/region_json")
+    val rjson = s.read.json(s"$tmp/region_json")
+    graft.sources.Writers.textLines(
+      c.nation.select(concat_ws("|", col("n_nationkey"), length(col("n_name"))).as("value")),
+      s"$tmp/nation_txt")
+    val ntxt = s.read.text(s"$tmp/nation_txt")
+      .select(split(col("value"), "\\|").as("kv"))
+      .select(
+        element_at(col("kv"), 1).cast("int").as("n_nationkey"),
+        element_at(col("kv"), 2).cast("long").as("name_len"))
+    ncsv.join(rjson, col("n_regionkey") === col("r_regionkey"))
+      .join(ntxt, "n_nationkey")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("name_len")).as("name_chars"))
+      .orderBy(col("r_name"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q39_sink_roundtrip" -> (
+      (sinkRoundtrip _),
+      Some("""SELECT r.r_name, count(*) AS n_nations,
+             |  CAST(SUM(length(n.n_name)) AS BIGINT) AS name_chars
+             |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)),
+
     "q36_orc_roundtrip" -> (
       (orcRoundtrip _),
       Some("""SELECT o_orderpriority, count(*) AS n_orders,

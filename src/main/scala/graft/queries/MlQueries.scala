@@ -38,10 +38,17 @@ object MlQueries {
       }),
       None),
 
-    // M13/R1-R5: DataFrame FP-Growth itemsets
+    // M13/R1-R5: DataFrame FP-Growth itemsets — the FULL (unsliced)
+    // result, hash-gated: at minSupport 0.0001 the synthetic baskets
+    // contain NO frequent itemset larger than 3 (checked in DuckDB at
+    // min_freq=2/sf0.01: 12 triples, 0 quadruples — and by the Apriori
+    // property no larger set can be frequent without a frequent subset),
+    // so the complete FP-Growth output equals the size-<=3 relational
+    // replay and upTo3Oracle gates it exactly. If the generator ever
+    // produces a frequent quadruple the row-count match fails loudly.
     "ml_fpgrowth" -> (
-      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsets(Catalog(s, d).lineitem)),
-      None),
+      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsets(Catalog(s, d).lineitem, 0.0001)),
+      Some(BasketItemsets.upTo3Oracle(0.0001))),
 
     // FP-Growth restricted to size<=2 itemsets: the frequent-pattern
     // result replayed exactly by relational SQL (oracle-checked)

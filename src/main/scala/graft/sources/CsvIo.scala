@@ -22,6 +22,12 @@ object CsvIo {
     StructField("c_acctbal", DoubleType),
     StructField("c_mktsegment", StringType)))
 
+  /** Declared schema for the `nation` table (TESTDATA.md layout). */
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 

@@ -54,11 +54,15 @@ object EventStream {
     * `KeyValueGroupedDataset` custom-state surface (north-star §2.11).
     *
     * The value total accumulates on the 1e-4 integer grid (a long count
-    * of `floor(value * 10000)` quanta — the [[graft.functions.Exact]]
-    * strategy): integer addition is order-independent, so the final
-    * state hash-matches the batch oracle no matter how the shuffle
-    * orders each group's iterator, where a raw double running sum would
-    * drift by arrival order.
+    * of `floor(value * 10000)` quanta): integer addition is
+    * order-independent, so the final state hash-matches its oracle (which
+    * replays the identical floor) no matter how the shuffle orders each
+    * group's iterator, where a raw double running sum would drift by
+    * arrival order. NOTE the grid assumption: for values exactly ON the
+    * 1e-4 grid (true of the synthetic events table) this also equals the
+    * batch DECIMAL(18,4) aggregate in [[graft.analytics.Events]]; an
+    * off-grid value floors here but rounds half-up in the DECIMAL cast,
+    * so the two surfaces may differ by one quantum per event off-grid.
     */
   def runningUserTotals(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
