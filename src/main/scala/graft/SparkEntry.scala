@@ -50,9 +50,11 @@ object SparkEntry {
     "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
-    "d8_dup_clusters", "c1_corpus_pipeline", "c2_corpus_filter_first",
+    "d8_dup_clusters", "d9_decontaminate",
+    "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
+    "t6_repetition", "t7_pii_redact",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",

@@ -43,14 +43,25 @@ object SimHash {
     * the oracle via DuckDB `error()`).
     */
   val laneBits = 15
-  private val laneMask = (1L << laneBits) - 1
-  private val maxTokens = 1L << laneBits
 
-  /** Digit value v (0..15) -> its 4 bits spread to the 4 lanes (15-bit
-    * default layout; the oracle SQL embeds this exact table).
+  /** Lane geometry for a given width: how many lanes fit in the 63
+    * non-sign bits of a long, how many longs a digit's 4 bits need
+    * (15 -> 4 lanes/long, 1 long/digit; 30 -> 2 lanes/long, 2 longs/digit),
+    * and one digit-value->packed-bits encoding table per long-slot.
+    * Shared by [[fingerprintsRelational]] and the parametric oracle so
+    * both engines replay the identical packed arithmetic at ANY width.
     */
-  private val laneEncoding: IndexedSeq[Long] = (0 until 16).map { v =>
-    (0 until 4).map(b => ((v >> b) & 1).toLong << (laneBits * b)).sum
+  private[ext] def laneGeometry(laneBits: Int): (Int, Int, Seq[IndexedSeq[Long]]) = {
+    val lanesPerLong = 63 / laneBits
+    require(lanesPerLong >= 1, s"laneBits $laneBits exceeds a long's capacity")
+    val longsPerDigit = (4 + lanesPerLong - 1) / lanesPerLong
+    val encodings = (0 until longsPerDigit).map { li =>
+      (0 until 16).map { v =>
+        (0 until 4).filter(b => b / lanesPerLong == li)
+          .map(b => ((v >> b) & 1).toLong << (laneBits * (b % lanesPerLong))).sum
+      }
+    }
+    (lanesPerLong, longsPerDigit, encodings)
   }
 
   /** (doc_id, simhash) where simhash is a 64-char '0'/'1' string,
@@ -84,22 +95,9 @@ object SimHash {
     */
   private[graft] def fingerprintsRelational(documents: DataFrame,
                                             laneBits: Int = SimHash.laneBits): DataFrame = {
-    // lane geometry derived from the width: how many lanes fit in the 63
-    // non-sign bits of a long, and how many longs a digit's 4 bits need
-    // (15 -> 4 lanes/long, 1 long/digit; 30 -> 2 lanes/long, 2 longs/digit)
-    val lanesPerLong = 63 / laneBits
-    require(lanesPerLong >= 1, s"laneBits $laneBits exceeds a long's capacity")
-    val longsPerDigit = (4 + lanesPerLong - 1) / lanesPerLong
+    val (lanesPerLong, longsPerDigit, encodings) = laneGeometry(laneBits)
     val mask = (1L << laneBits) - 1
     val maxToks = 1L << laneBits
-    // one encoding table per long-slot: digit value v -> v's bits that
-    // live in that slot, each shifted to its lane
-    val encodings: Seq[IndexedSeq[Long]] = (0 until longsPerDigit).map { li =>
-      (0 until 16).map { v =>
-        (0 until 4).filter(b => b / lanesPerLong == li)
-          .map(b => ((v >> b) & 1).toLong << (laneBits * (b % lanesPerLong))).sum
-      }
-    }
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
@@ -131,22 +129,31 @@ object SimHash {
     sums.select(col("doc_id"), guarded.as("simhash"))
   }
 
-  def fingerprintsOracle: String = {
-    val encList = laneEncoding.mkString("[", ", ", "]")
-    val packedSums = (0 until 16).map { d =>
+  /** Parametric DuckDB twin of [[fingerprintsRelational]]: the identical
+    * lane-packed arithmetic at any width, so the wide-lane (30-bit,
+    * million-token) path is oracle-gated, not just unit-tested.
+    */
+  def fingerprintsOracle(laneBits: Int = SimHash.laneBits): String = {
+    val (lanesPerLong, longsPerDigit, encodings) = laneGeometry(laneBits)
+    val mask = (1L << laneBits) - 1
+    val maxToks = 1L << laneBits
+    val packedSums = (for { d <- 0 until 16; li <- 0 until longsPerDigit } yield {
+      val encList = encodings(li).mkString("[", ", ", "]")
       val v = s"(instr('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1)"
-      s"CAST(SUM(list_extract($encList, $v + 1)) AS BIGINT) AS p_$d"
-    }.mkString(", ")
-    val bitChars = (0 until 64)
-      .map(b => s"CASE WHEN ((p_${b / 4} >> ${laneBits * (b % 4)}) & $laneMask) * 2 > n THEN '1' ELSE '0' END")
-      .mkString(" || ")
+      s"CAST(SUM(list_extract($encList, $v + 1)) AS BIGINT) AS p_${d}_$li"
+    }).mkString(", ")
+    val bitChars = (0 until 64).map { j =>
+      val d = j / 4
+      val b = j % 4
+      s"CASE WHEN ((p_${d}_${b / lanesPerLong} >> ${laneBits * (b % lanesPerLong)}) & $mask) * 2 > n THEN '1' ELSE '0' END"
+    }.mkString(" || ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
        |toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
        |sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $packedSums
        |  FROM toks2 GROUP BY doc_id)
        |SELECT doc_id,
-       |  CASE WHEN n >= $maxTokens
+       |  CASE WHEN n >= $maxToks
        |       THEN error('simhash lane overflow: doc ' || doc_id || ' has ' || n || ' tokens')
        |       ELSE $bitChars END AS simhash
        |FROM sums""".stripMargin
@@ -172,7 +179,7 @@ object SimHash {
     * pigeonhole candidates, and a generated 64-term Hamming sum.
     */
   def pairsOracle(maxHamming: Int, bucketCap: Int = 50): String = {
-    val fpSql = fingerprintsOracle
+    val fpSql = fingerprintsOracle()
     val blocks = blockLayout(maxHamming).zipWithIndex
       .map { case ((off, w), i) =>
         s"SELECT doc_id, $i AS blk, substr(simhash, ${off + 1}, $w) AS bits FROM fp"

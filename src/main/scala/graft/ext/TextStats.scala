@@ -168,6 +168,132 @@ object TextStats {
       |       ELSE 'unknown' END AS predicted_lang
       |FROM s""".stripMargin
 
+  /** Word n-grams of `text` as an array column (whitespace tokens joined
+    * by single spaces). The `when` guard matters: Spark's `sequence(1, k)`
+    * generates a DESCENDING [1, 0] when k = 0, which would emit two
+    * out-of-bounds grams for docs shorter than n words — short docs get
+    * an empty array instead, matching DuckDB's empty `range`.
+    */
+  def wordGramsCol(text: Column, n: Int): Column = {
+    val ws = split(trim(text), "\\s+")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[wordGramsCol]] hashed to the engine's shared md5-prefix longs —
+    * what crosses shuffles/broadcasts in corpus-level gram joins
+    * ([[Decontaminate]]): 8 bytes per gram instead of the gram string.
+    */
+  def hashedWordGramsCol(text: Column, n: Int): Column =
+    transform(wordGramsCol(text, n),
+      g => conv(substring(md5(g.cast("binary")), 1, 12), 16, 10).cast("long"))
+
+  /** The DuckDB twin of [[hashedWordGramsCol]] (a list expression over
+    * column `text` of `table`'s rows — embed inside a SELECT).
+    */
+  def hashedWordGramsSql(n: Int): String =
+    s"""list_transform(
+       |  list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - ${n - 1}, 0) + 1),
+       |    i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + ${n - 1}), ' ')),
+       |  g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT))""".stripMargin
+
+  /** Gopher-style repetition signal: the fraction of word n-grams that
+    * are duplicates within the SAME document (1 - distinct/total) — the
+    * standard "remove repetitious docs" quality filter for LLM corpora
+    * (boilerplate, keyword stuffing, decoding loops all show up here).
+    * Pure per-row column algebra: no shuffle, any corpus size.
+    */
+  def repetition(documents: DataFrame, n: Int = 3, maxDupRatio: Double = 0.2): DataFrame = {
+    val grams = wordGramsCol(col("text"), n)
+    documents
+      .select(
+        col("doc_id"),
+        size(grams).as("n_grams"),
+        (size(grams) - size(array_distinct(grams))).as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+      .withColumn("repetitious", col("dup_ratio") > maxDupRatio)
+  }
+
+  def repetitionOracle(n: Int, maxDupRatio: Double): String =
+    s"""WITH g AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - ${n - 1}, 0) + 1),
+       |    i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + ${n - 1}), ' ')) AS grams
+       |FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(len(grams) AS INT) AS n_grams,
+       |  CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_dup_grams
+       |FROM g)
+       |SELECT doc_id, n_grams, n_dup_grams,
+       |  CASE WHEN n_grams > 0 THEN CAST(n_dup_grams AS DOUBLE) / n_grams ELSE 0.0 END AS dup_ratio,
+       |  (CASE WHEN n_grams > 0 THEN CAST(n_dup_grams AS DOUBLE) / n_grams ELSE 0.0 END) > $maxDupRatio AS repetitious
+       |FROM c""".stripMargin
+
+  /** PII redaction: mask emails and phone-shaped tokens with typed
+    * placeholders, counting what was masked. Patterns are restricted to
+    * the dialect-portable subset (character classes only) so Spark's Java
+    * regex and DuckDB's RE2 replace the identical spans; Spark's
+    * `regexp_replace` is global by default and the oracle passes the 'g'
+    * flag to match.
+    */
+  val emailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+  val phonePattern = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(documents: DataFrame): DataFrame = {
+    val counts = graft.functions.RegexCounts.of(col("text"), Seq(emailPattern, phonePattern))
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("redacted"),
+      element_at(counts, 1).as("n_emails"),
+      element_at(counts, 2).as("n_phones"))
+  }
+
+  def redactPiiOracle(table: String = "documents"): String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+       |                 '$phonePattern', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phonePattern')) AS INT) AS n_phones
+       |FROM $table""".stripMargin
+
+  /** Deterministic per-source downsampling to target keep-rates — the
+    * "domain mixing" step of a training-data pipeline (rebalance web vs
+    * wiki vs code before training). Same md5(doc_id) bucket scheme as
+    * [[hashSplit]]: reproducible across runs/engines/cluster sizes, and
+    * a document's keep/drop decision is stable as the corpus grows. Pure
+    * projection + filter — no shuffle, no sampling variance.
+    */
+  def sampleBySource(documents: DataFrame, ratesPct: Map[String, Int],
+                     defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      s"keep rates must be percentages in [0, 100]: $ratesPct default=$defaultPct")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(100L))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"), bucket.cast("int").as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  def sampleBySourceOracle(ratesPct: Map[String, Int], defaultPct: Int): String = {
+    val cases = ratesPct.toSeq.sortBy(_._1)
+      .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+      .mkString(" ")
+    s"""SELECT doc_id, source,
+       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS INT) AS bucket
+       |FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100
+       |  < (CASE $cases ELSE $defaultPct END)""".stripMargin
+  }
+
   /** Deterministic content-stable train/val/test assignment: bucket =
     * md5(doc_id) mod 100 (the engine's shared md5 hex-prefix integer
     * scheme), split by cumulative percentage. The standard

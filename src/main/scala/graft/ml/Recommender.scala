@@ -41,6 +41,17 @@ object Recommender {
     * AUC / segmentation silhouette bands — a silent model break fails
     * the suite instead of surviving as a plausible row count.
     */
+  /** The noise floor for [[holdoutHitRate]]: the EXPECTED hit-rate@n of a
+    * recommender that picks n items uniformly at random from the catalog.
+    * For any held-out (user, item), P(item ∈ n uniform picks of I) = n/I,
+    * so the expectation is exactly n/I — computed, not simulated (no
+    * sampling variance to calibrate away). MlSpec asserts the ALS
+    * hit-rate clears a multiple of this, making "beats random by ≥k×" an
+    * executable claim instead of a hand-derived constant.
+    */
+  def randomHitRateBaseline(orders: DataFrame, lineitem: DataFrame, n: Int = 5): Double =
+    n.toDouble / ratings(orders, lineitem).select(col("item")).distinct().count()
+
   def holdoutHitRate(orders: DataFrame, lineitem: DataFrame, n: Int = 5,
                      seed: Long = 42L, trainPct: Int = 80): Double = {
     val bucket = pmod(

@@ -160,7 +160,16 @@ object ExtensionQueries {
     // SimHash fingerprints (64-bit, portable bit arithmetic)
     "d5_simhash" -> (
       ((s: SparkSession, d: String) => SimHash.fingerprints(Catalog(s, d).documents)),
-      Some(SimHash.fingerprintsOracle)),
+      Some(SimHash.fingerprintsOracle())),
+
+    // the wide-lane (30-bit, million-token-doc) SimHash form, oracle-
+    // gated at its own lane geometry: correctness-only like d4b (the
+    // shipped path is the native expression d5 gates; this gates the
+    // lane-packed arithmetic the 100-TB long-doc variant runs on)
+    "d5b_simhash_wide" -> (
+      ((s: SparkSession, d: String) =>
+        SimHash.fingerprintsRelational(Catalog(s, d).documents, 30)),
+      Some(SimHash.fingerprintsOracle(30))),
 
     // SimHash near-dup pairs via block pigeonhole + exact Hamming verify
     "d6_simhash_pairs" -> (
@@ -178,6 +187,19 @@ object ExtensionQueries {
         DedupClusters.clusters(docs, MinHashDedup.verifiedPairs(docs, 5, 0.5))
       }),
       Some(DedupClusters.clustersOracle(MinHashDedup.verifiedPairsOracle(5, 0.5)))),
+
+    // benchmark decontamination: flag corpus docs sharing any word
+    // 8-gram with the "eval suite" (doc_id % 50 == 0 plays the
+    // benchmark); the bench gram set broadcasts, the corpus probe is one
+    // map-side semi-join pass
+    "d9_decontaminate" -> (
+      ((s: SparkSession, d: String) => {
+        val docs = Catalog(s, d).documents
+        Decontaminate.flags(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0), 8)
+      }),
+      Some(Decontaminate.flagsOracle(8, "doc_id % 50 = 0"))),
 
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
@@ -245,6 +267,37 @@ object ExtensionQueries {
     "t5_hash_split" -> (
       ((s: SparkSession, d: String) => TextStats.hashSplit(Catalog(s, d).documents, 80, 10)),
       Some(TextStats.hashSplitOracle(80, 10))),
+
+    // Gopher-style intra-doc repetition signal (dup word-3-gram ratio)
+    "t6_repetition" -> (
+      ((s: SparkSession, d: String) => TextStats.repetition(Catalog(s, d).documents, 3, 0.2)),
+      Some(TextStats.repetitionOracle(3, 0.2))),
+
+    // PII redaction: the corpus text carries no PII, so the query plants
+    // deterministic emails/phones per doc (replayed by the oracle) and
+    // the redactor must mask exactly those spans
+    "t7_pii_redact" -> (
+      ((s: SparkSession, d: String) => {
+        val docs = Catalog(s, d).documents
+        TextStats.redactPii(docs.select(
+          col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text")))
+      }),
+      Some(s"""WITH pii AS (SELECT doc_id,
+              |  text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+              |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              |FROM documents)
+              |${TextStats.redactPiiOracle("pii")}""".stripMargin)),
+
+    // deterministic domain mixing: per-source keep-rates over md5 buckets
+    "c3_mixture_sample" -> (
+      ((s: SparkSession, d: String) => TextStats.sampleBySource(
+        Catalog(s, d).documents, Map("src0" -> 100, "src1" -> 25, "src2" -> 50), 75)),
+      Some(TextStats.sampleBySourceOracle(
+        Map("src0" -> 100, "src1" -> 25, "src2" -> 50), 75))),
 
     // multimodal frame sampling (chunk + stride, per-frame fingerprints)
     "mm2_frame_sample" -> (

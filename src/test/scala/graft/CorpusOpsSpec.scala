@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.{Decontaminate, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-behavior tests for the round-8 corpus operators (repetition,
+  * decontamination, mixture sampling, PII redaction). Oracle parity is
+  * gated by CORRECTNESS rows (t6/t7/d9/c3); these pin the SEMANTICS on
+  * constructed inputs where the expected answer is known by hand.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("repetition: a looped doc scores high, a unique doc scores zero, short docs are safe") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // all 3-grams identical
+      (2L, "one two three four five six"),          // all 3-grams distinct
+      (3L, "tiny doc"),                             // shorter than n -> no grams
+      (4L, "")                                      // empty
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetition(docs, 3, 0.2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_grams"), x.getAs[Int]("n_dup_grams"),
+          x.getAs[Boolean]("repetitious")))).toMap
+    assert(r(1L) == ((4, 3, true)), s"looped doc: ${r(1L)}")   // 4 grams, 1 distinct
+    assert(r(2L) == ((4, 0, false)))
+    assert(r(3L) == ((0, 0, false)))
+    assert(r(4L) == ((0, 0, false)))
+  }
+
+  test("decontaminate: flags exactly the docs sharing an 8-gram with the benchmark") {
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, s"$eight tail words here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix $eight suffix"),                       // contains the bench 8-gram
+      (2L, s"prefix ${eight.replace("w4", "x4")} suffix"), // one word differs -> clean
+      (3L, "wholly unrelated content with many words")     // clean
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.flags(corpus, bench, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false), got.toString)
+  }
+
+  test("mixture sample: rate 0 drops all, rate 100 keeps all, default applies to unlisted sources") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextStats.sampleBySource(docs,
+      Map("src0" -> 100, "src1" -> 0, "src2" -> 50), 75).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("src0", 0) == 100)          // rate 100: every doc
+    assert(!bySrc.contains("src1"))                    // rate 0: none
+    val s2 = bySrc.getOrElse("src2", 0)
+    val s3 = bySrc.getOrElse("src3", 0)                // default 75
+    // md5 buckets are uniform-ish, not exact percentages: wide sanity bands
+    assert(s2 > 25 && s2 < 75, s"src2 kept $s2 of 100 at rate 50")
+    assert(s3 > 50 && s3 < 95, s"src3 kept $s3 of 100 at default 75")
+    // determinism: same input, same keep set
+    val again = TextStats.sampleBySource(docs,
+      Map("src0" -> 100, "src1" -> 0, "src2" -> 50), 75).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("redactPii: masks planted emails/phones, counts them, leaves clean text intact") {
+    val docs = Seq(
+      (1L, "reach me at a.b_c@mail-host.org today"),
+      (2L, "call +1-555-0199 or +44-555-0100 now"),
+      (3L, "no pii in this sentence at all")
+    ).toDF("doc_id", "text")
+    val r = TextStats.redactPii(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("redacted"), x.getAs[Int]("n_emails"), x.getAs[Int]("n_phones")))).toMap
+    assert(r(1L) == (("reach me at <EMAIL> today", 1, 0)))
+    assert(r(2L) == (("call <PHONE> or <PHONE> now", 0, 2)))
+    assert(r(3L) == (("no pii in this sentence at all", 0, 0)))
+  }
+}

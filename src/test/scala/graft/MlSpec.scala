@@ -68,12 +68,26 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     // fit QUALITY band (not just coverage): deterministic hash-split
     // holdout, hit-rate@5 of held-out interactions in the model's top-5
     val hitRate = Recommender.holdoutHitRate(c.orders, c.lineitem, 5)
+    val baseline = Recommender.randomHitRateBaseline(c.orders, c.lineitem, 5)
     collected += "als_holdout_hit_rate" -> hitRate
-    // measured 0.0242 at sf0.001 with seed 42 — ~10x the random-recs
-    // baseline (5 / ~2000 items), so a silent model break (lost seed,
-    // feature drift, degenerate factors) lands far outside the band
-    assert(hitRate > 0.005 && hitRate < 0.10,
-      s"ALS holdout hit-rate $hitRate outside [0.005, 0.10] (measured 0.0242)")
+    collected += "als_random_baseline" -> baseline
+    // The bound is DERIVED from an executable baseline, not calibrated
+    // from one measurement — and what it pins is chance-level: the
+    // synthetic baskets assign parts to customers with no preference
+    // structure, so NO recommender can beat uniform random here
+    // (measured: hit-rate 0.0242 vs baseline 5/|items| = 0.025, ratio
+    // 0.97; a train-item-filtered eval gives the same ratio 1.00, and
+    // train-reconstruction precision@5 is 0.164 vs 0.142 random — the
+    // data is structureless, r7's "~10x random" note miscounted the
+    // catalog at ~2000 items where the rating matrix has 200). The band
+    // still gates real failure in both directions: ~0 catches degenerate
+    // recs (empty/NaN factors, coldStartStrategy dropping everyone);
+    // >2x baseline catches holdout leakage (split bug putting train
+    // pairs in test, where hit-rate jumps toward train precision).
+    assert(hitRate >= 0.2 * baseline && hitRate <= 2 * baseline,
+      s"ALS holdout hit-rate $hitRate outside chance band " +
+        s"[${0.2 * baseline}, ${2 * baseline}] (measured 0.0242 vs baseline 0.025): " +
+        "below = degenerate recommendations, above = holdout leakage")
     ModelMetrics.write("MODEL_METRICS.json", collected.toMap)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get("MODEL_METRICS.json")))
   }

@@ -65,6 +65,25 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("explode"), s"build side not replicated via explode:\n$p")
   }
 
+  test("d9: benchmark gram set broadcasts; corpus side never sort-merges") {
+    // the 100-TB contract for decontamination: the eval suite is small,
+    // so the gram probe must plan as a broadcast semi-join — a sort-merge
+    // here would shuffle the full corpus gram stream
+    val p = plan("d9_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"gram probe is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams fell back to sort-merge:\n$p")
+  }
+
+  test("t6/c3: per-row corpus ops plan without any exchange") {
+    // repetition scoring and mixture sampling are pure projection/filter
+    // — any Exchange means a regression re-introduced a shuffle
+    for (q <- Seq("t6_repetition", "c3_mixture_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)
