@@ -57,6 +57,7 @@ object SparkEntry {
     "t6_repetition", "t7_pii_redact",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
+    "e5_stateful_sessions",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",

@@ -345,6 +345,37 @@ object ExtensionQueries {
         graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(d))),
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // arbitrary stateful streaming #2 (flatMapGroupsWithState, Append +
+    // EventTimeTimeout): gap sessions emitted exactly once when the
+    // watermark closes them. Oracle = the batch sessionize SQL (e2's
+    // grouping, bit-for-bit) filtered to sessions the final watermark
+    // (max event time at delay 0, ms floor) closed — sessions ending
+    // within one gap of the stream's end stay open in state by design
+    "e5_stateful_sessions" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(d), 30)),
+      Some(s"""WITH marked AS (
+              |  SELECT user_id, event_id, ts, value,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR date_diff('second', lag(ts) OVER w, ts) > ${30 * 60}
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+              |assigned AS (
+              |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              |  FROM marked),
+              |sess AS (
+              |  SELECT user_id,
+              |    min(ts) AS session_start, max(ts) AS session_end,
+              |    count(*) AS n_events,
+              |    CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS session_value
+              |  FROM assigned GROUP BY user_id, session_seq)
+              |SELECT user_id, session_start, session_end, n_events, session_value
+              |FROM sess
+              |WHERE epoch_us(session_end) // 1000 + ${30 * 60000L}
+              |    < (SELECT epoch_us(max(ts)) // 1000 FROM events)""".stripMargin))
   )
 }

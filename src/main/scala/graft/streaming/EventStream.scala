@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
+/** A gap-session held in `flatMapGroupsWithState` state (or just closed):
+  * bounds in microseconds, event count, value total in 1e-4 quanta.
+  * Top-level (not nested in the object) — Spark's encoder codegen cannot
+  * call accessors of an object-nested private case class.
+  */
+private[streaming] case class SessionAcc(startUs: Long, endUs: Long,
+                                         nEvents: Long, quanta: Long)
+
+/** Emitted session row (timestamps carry microseconds via Instant). */
+final case class UserSession(user_id: Long, session_start: java.time.Instant,
+                             session_end: java.time.Instant, n_events: Long,
+                             session_value: Double)
+
 /** Structured Streaming over the `events` table.
   *
   * The reference has no streaming at all (SURVEY §2.11); this is the
@@ -106,6 +119,96 @@ object EventStream {
       .agg(
         max(col("n_events")).as("n_events"),
         max_by(col("total_value"), col("n_events")).as("total_value"))
+  }
+
+  /** Gap-sessionization as ARBITRARY stateful streaming
+    * (`flatMapGroupsWithState`, Append + EventTimeTimeout) — the other
+    * half of the custom-state API surface (e4 gates
+    * `mapGroupsWithState`). Per user, events merge into open sessions in
+    * state; a session is emitted exactly once, when the event-time
+    * watermark passes `session_end + gap` — the instant no on-time event
+    * can extend it. Grouping replicates [[graft.analytics.Events
+    * .sessionize]] bit-for-bit (same floor-to-second gap predicate, same
+    * 1e-4 value grid as the DECIMAL(18,4) batch sum for on-grid data),
+    * so the oracle is the batch sessionize SQL filtered to sessions the
+    * final watermark closed: with watermark delay 0, exactly those with
+    * `floor(end/ms) + gap < floor(max(ts)/ms)`. Sessions newer than that
+    * stay in state (correct streaming semantics — a later file could
+    * still extend them) and are NOT in the output contract.
+    *
+    * State per user is its OPEN sessions only (closed ones leave state
+    * on emit), so state size is bounded by user concurrency, not
+    * history. Cross-batch merging assumes batches arrive in event-time
+    * order (true for the single-file source here and for time-ordered
+    * file drops); events older than the watermark are late data and
+    * their sessions may already have emitted, exactly as in any
+    * watermarked aggregation.
+    */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+    val gapMs = gapMinutes * 60000L
+    def us(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def instant(u: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L)
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as[Long], col("ts").as[java.time.Instant],
+        col("event_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant, Long, Double)],
+         state: GroupState[Seq[SessionAcc]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Seq.empty).toList
+          // merge this batch's events (sorted by event time, event_id
+          // tie-break — the batch twin's window ordering) into sessions
+          val evs = rows.toArray.sortBy(r => (us(r._2), r._3))
+          for (e <- evs) {
+            val eUs = us(e._2)
+            val q = math.floor(e._4 * 10000d).toLong
+            sessions match {
+              case last :: _ if Math.floorDiv(eUs, 1000000L) - Math.floorDiv(last.endUs, 1000000L) <= gapSec =>
+                sessions = last.copy(endUs = math.max(last.endUs, eUs),
+                  nEvents = last.nEvents + 1, quanta = last.quanta + q) :: sessions.tail
+              case _ =>
+                sessions = SessionAcc(eUs, eUs, 1L, q) :: sessions
+            }
+          }
+          // a session is closed once the watermark passes end + gap
+          val (closed, open) = sessions.partition(s =>
+            Math.floorDiv(s.endUs, 1000L) + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val next = open.map(s => Math.floorDiv(s.endUs, 1000L) + gapMs).min
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          closed.sortBy(_.startUs).iterator.map(s =>
+            UserSession(user, instant(s.startUs), instant(s.endUs), s.nEvents, s.quanta / 10000.0))
+      }
+      .toDF()
+  }
+
+  /** Drive [[statefulSessions]] to completion over a static directory:
+    * the data batch populates state, then the watermark jump to max(ts)
+    * triggers the no-data timeout batch that emits every closed session
+    * (Append mode — each session appears exactly once in the sink).
+    */
+  def runStatefulSessionsToCompletion(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                                      queryName: String = "graft_state_e5"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q: StreamingQuery = statefulSessions(readStream(spark, dir), gapMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
   }
 
   /** Run the hourly aggregate over a static directory to completion via

@@ -25,6 +25,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateful session stream == batch sessions the final watermark closed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.runStatefulSessionsToCompletion(spark, dir.toString, 30)
+      .selectExpr("user_id", "session_start", "session_end", "n_events")
+    // batch twin: gap sessions whose end + gap the final watermark
+    // (max event time, ms floor, delay 0) passed — later sessions stay
+    // open in state and must NOT be emitted
+    val events = Catalog(spark, sf).events
+    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head.getLong(0)
+    val batch = Events.sessionize(events, 30)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"unix_micros(session_end) DIV 1000 + ${30 * 60000L} < $wmMs"))
+      .selectExpr("user_id", "session_start", "session_end", "n_events")
+    val nBatchAll = Events.sessionize(events, 30).count()
+    assert(streamed.count() > 0 && streamed.count() < nBatchAll,
+      "cutoff should hold back the stream-tail sessions")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming per-doc token stats == batch t1 projection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docstream")
     java.nio.file.Files.copy(
