@@ -294,6 +294,50 @@ object TextStats {
        |  < (CASE $cases ELSE $defaultPct END)""".stripMargin
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins (the pre-tokenization step that concatenates documents into
+    * ~context-length sequences). Documents shard by the engine's md5
+    * bucket scheme and pack WITHIN shards — embarrassingly parallel, the
+    * shape a 1000-executor packer actually runs (a single global
+    * cumulative sum would serialize the corpus through one task) — with
+    * a deterministic doc_id order inside each shard, so the layout is
+    * reproducible across runs, engines and cluster sizes. A document
+    * starts in bin floor(tokens_before / budget); `bin_offset` is its
+    * start position within the bin, so downstream writers can place
+    * every doc without re-scanning.
+    */
+  def packSequences(documents: DataFrame, tokenBudget: Int, nShards: Int = 256): DataFrame = {
+    require(tokenBudget > 0 && nShards > 0, s"budget=$tokenBudget shards=$nShards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), shard.cast("int").as("shard"),
+        nWordsCol(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before DIV $tokenBudget").as("bin"),
+        pmod(col("cum_before"), lit(tokenBudget.toLong)).as("bin_offset"))
+  }
+
+  def packSequencesOracle(tokenBudget: Int, nShards: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % $nShards AS INT) AS shard,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |FROM documents),
+       |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  cum_before // $tokenBudget AS bin,
+       |  cum_before % $tokenBudget AS bin_offset
+       |FROM c""".stripMargin
+
   /** Deterministic content-stable train/val/test assignment: bucket =
     * md5(doc_id) mod 100 (the engine's shared md5 hex-prefix integer
     * scheme), split by cumulative percentage. The standard

