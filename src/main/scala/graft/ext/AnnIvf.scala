@@ -58,7 +58,7 @@ object AnnIvf {
     * cell id via lexicographic struct ordering.
     */
   private def cellScores(v: Column, cents: Array[Vector]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cf = c.toArray.map(_.toFloat)
       val c2 = cf.map { x =>
         val q = math.floor(x.toDouble * graft.functions.QuantizedDot.Grid).toLong
