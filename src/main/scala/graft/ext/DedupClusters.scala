@@ -42,9 +42,20 @@ object DedupClusters {
     // iterate over CONNECTED vertices only: a doc with no edge can never
     // change its label, so singletons (the overwhelming majority of a
     // deduplicated corpus) rejoin after convergence via a left join —
-    // every round's join/aggregate shuffles |connected| rows, not |corpus|
-    val connected = edges.select(col("src").as("doc_id")).distinct()
-    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // every round's join/aggregate shuffles |connected| rows, not |corpus|.
+    // Labels SEED with the one-hop minimum (least of self and direct
+    // neighbors) — one aggregate over the edge list, the same shuffle the
+    // old distinct() paid, but it starts every vertex one hop closer to
+    // the fixpoint: diameter-1 components (the overwhelming dup shape —
+    // direct pairs) converge in ONE confirming round instead of two, and
+    // each saved round is a join + aggregate + checkpoint + probe job.
+    // The fixpoint (min reachable doc_id) and the convergence probe are
+    // unchanged; only the starting point moves.
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("cluster_id"))
+      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
