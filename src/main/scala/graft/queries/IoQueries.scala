@@ -101,7 +101,43 @@ object IoQueries {
       .orderBy(col("r_name"))
   }
 
+  /** Partition-level upsert (dynamic partition overwrite): write the
+    * derived lineitem table partitioned by week, then overwrite ONLY
+    * week 52 with corrected rows (net_price doubled — a late-arriving
+    * fix). The gate reads BOTH weeks back: week 52 must show the fix and
+    * week 51 must be byte-identical to the original load — the latter is
+    * what static overwrite mode would destroy (it truncates the whole
+    * table to the written slice).
+    */
+  private def dynamicUpsert(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("upsert")
+    val derived = graft.transform.Derive.pricing(Catalog(s, d).lineitem)
+      .select("l_orderkey", "l_linenumber", "net_price", "week_no")
+    graft.sources.Writers.partitionedParquet(derived, s"$tmp/by_week", "week_no")
+    val fix = derived.filter(col("week_no") === 52)
+      .withColumn("net_price", col("net_price") * 2)
+    graft.sources.Writers.overwritePartitions(fix, s"$tmp/by_week", "week_no")
+    s.read.parquet(s"$tmp/by_week")
+      .filter(col("week_no").isin(51, 52))
+      .groupBy(col("week_no"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("week_net"))
+      .orderBy(col("week_no"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q40_partition_upsert" -> (
+      (dynamicUpsert _),
+      // doubling a double is exact (exponent bump), so the oracle can
+      // scale before the shared decimal-grid cast
+      Some("""WITH base AS (
+             |  SELECT CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+             |    l_extendedprice * (1.0 - l_discount) AS net_price
+             |  FROM lineitem)
+             |SELECT week_no, count(*) AS n_lines,
+             |  CAST(SUM(CAST(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END AS DECIMAL(18,4))) AS DOUBLE) AS week_net
+             |FROM base WHERE week_no IN (51, 52)
+             |GROUP BY week_no ORDER BY week_no""".stripMargin)),
+
     "q39_sink_roundtrip" -> (
       (sinkRoundtrip _),
       Some("""SELECT r.r_name, count(*) AS n_nations,

@@ -31,6 +31,21 @@ object Writers {
     df.repartition(cols.map(col): _*)
       .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Dynamic partition overwrite [beyond S5]: rewrite ONLY the partition
+    * directories present in `df`, leaving every other partition intact —
+    * the idempotent "upsert one day/week's slice" operation production
+    * pipelines run for late-arriving fixes. The per-write OPTION (not the
+    * session conf) keeps the static-overwrite default for everyone else;
+    * static mode here would truncate the whole table to the new slice.
+    * The same repartition-on-key discipline as [[partitionedParquet]]
+    * bounds file counts.
+    */
+  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.repartition(cols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
+
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)                                    // [S7]
 

@@ -37,6 +37,21 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() == 25)
   }
 
+  test("dynamic partition overwrite rewrites only the written slice") {
+    import spark.implicits._
+    val dir = tmp()
+    val base = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 20)).toDF("id", "v", "pk")
+    Writers.partitionedParquet(base, s"$dir/t", "pk")
+    // upsert partition pk=20 only: row 3 replaced by rows 30/31
+    val fix = Seq((30L, "x", 20), (31L, "y", 20)).toDF("id", "v", "pk")
+    Writers.overwritePartitions(fix, s"$dir/t", "pk")
+    val got = spark.read.parquet(s"$dir/t")
+      .select("id", "pk").as[(Long, Int)].collect().toSet
+    // pk=10 untouched (static overwrite mode would have truncated it),
+    // pk=20 fully replaced
+    assert(got == Set((1L, 10), (2L, 10), (30L, 20), (31L, 20)), got.toString)
+  }
+
   test("approx_count_distinct tracks exact within 5% (the scale variant of A2)") {
     val o = Catalog(spark, sf).orders
     val r = o.agg(
