@@ -294,6 +294,29 @@ object TextStats {
        |  < (CASE $cases ELSE $defaultPct END)""".stripMargin
   }
 
+  /** Corpus vocabulary: token -> frequency, top `topK` by count with a
+    * deterministic token tie-break — the seed step for building a
+    * tokenizer vocab. Shape at scale: explode is a projection, the count
+    * is a partial+final hash aggregate (map-side combine carries one row
+    * per distinct token per task, not per occurrence), and the top-K
+    * plans as TakeOrderedAndProject — per-partition heaps, no global
+    * sort of the vocabulary.
+    */
+  def vocab(documents: DataFrame, topK: Int = 500): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+
+  def vocabOracle(topK: Int): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+       |SELECT token, count(*) AS freq FROM toks WHERE length(token) > 0
+       |GROUP BY token ORDER BY freq DESC, token ASC LIMIT $topK""".stripMargin
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins (the pre-tokenization step that concatenates documents into
     * ~context-length sequences). Documents shard by the engine's md5

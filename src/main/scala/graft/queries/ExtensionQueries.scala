@@ -292,6 +292,11 @@ object ExtensionQueries {
               |FROM documents)
               |${TextStats.redactPiiOracle("pii")}""".stripMargin)),
 
+    // corpus vocabulary: token frequencies, deterministic top-K
+    "t8_vocab" -> (
+      ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),
+      Some(TextStats.vocabOracle(500))),
+
     // sequence packing: docs -> fixed-token-budget training bins, packed
     // within md5 shards (parallel, reproducible layout)
     "c4_pack_sequences" -> (

@@ -84,6 +84,13 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("t8: vocab top-K plans as TakeOrderedAndProject with partial aggregation") {
+    val p = plan("t8_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-K globally sorts:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token count missing map-side combine:\n$p")
+  }
+
   test("c4: packing window partitions by shard — never a single-partition sort") {
     // the scale contract: packing parallelizes across shards; a window
     // without the shard partition spec would pull the corpus through one
