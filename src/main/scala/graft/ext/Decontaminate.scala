@@ -14,20 +14,25 @@ import org.apache.spark.sql.functions._
   * terabytes — so its distinct hashed-gram set is BROADCAST and the
   * corpus-side probe is a map-side semi-join: one pass over the corpus,
   * no corpus shuffle at all. Grams cross the wire as the engine's shared
-  * md5-prefix longs (8 bytes each), never as strings. A benchmark too
-  * large to broadcast degrades gracefully to a shuffled semi-join on the
-  * gram hash — same plan minus the broadcast hint.
+  * md5-prefix longs (8 bytes each), never as strings. For a benchmark
+  * too large to broadcast (past the 8 GB broadcast limit / driver
+  * memory), pass `broadcastBench = false` to fall back to a shuffled
+  * semi-join on the gram hash — the same plan minus the hint; the hint
+  * is explicit because an eval-suite gram set is far below the
+  * autoBroadcastJoinThreshold heuristics would need to SEE (they only
+  * know source sizes, and the gram explode inflates before the join).
   */
 object Decontaminate {
 
   /** (doc_id, contaminated) for every corpus document: true iff the doc
     * shares at least one word `n`-gram with any benchmark document.
     */
-  def flags(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    val benchGrams = broadcast(
-      benchmark
-        .select(explode(TextStats.hashedWordGramsCol(col("text"), n)).as("g"))
-        .distinct())
+  def flags(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+            broadcastBench: Boolean = true): DataFrame = {
+    val benchDistinct = benchmark
+      .select(explode(TextStats.hashedWordGramsCol(col("text"), n)).as("g"))
+      .distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchDistinct) else benchDistinct
     val hit = corpus
       .select(col("doc_id"), explode(TextStats.hashedWordGramsCol(col("text"), n)).as("g"))
       .join(benchGrams, Seq("g"), "left_semi")
@@ -47,10 +52,10 @@ object Decontaminate {
     s"""WITH grams AS (
        |  SELECT doc_id, unnest(${TextStats.hashedWordGramsSql(n)}) AS g FROM documents),
        |bench AS (SELECT DISTINCT g FROM grams WHERE $benchmarkPredicate),
+       |corpus AS (SELECT doc_id FROM documents WHERE NOT ($benchmarkPredicate)),
        |hits AS (
        |  SELECT DISTINCT doc_id FROM grams
-       |  WHERE NOT ($benchmarkPredicate) AND g IN (SELECT g FROM bench))
-       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-       |WHERE NOT (${benchmarkPredicate.replace("doc_id", "d.doc_id")})""".stripMargin
+       |  WHERE doc_id IN (SELECT doc_id FROM corpus) AND g IN (SELECT g FROM bench))
+       |SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
 }

@@ -272,9 +272,7 @@ object TextStats {
                      defaultPct: Int): DataFrame = {
     require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
       s"keep rates must be percentages in [0, 100]: $ratesPct default=$defaultPct")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
-        .cast("long"), lit(100L))
+    val bucket = docIdBucketCol(100)
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
       when(col("source") === src, lit(pct)).otherwise(acc)
     }
@@ -288,11 +286,27 @@ object TextStats {
       .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
       .mkString(" ")
     s"""SELECT doc_id, source,
-       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS INT) AS bucket
+       |  CAST(${docIdBucketSql(100)} AS INT) AS bucket
        |FROM documents
-       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100
+       |WHERE ${docIdBucketSql(100)}
        |  < (CASE $cases ELSE $defaultPct END)""".stripMargin
   }
+
+  /** The engine's shared content-stable document bucket: the md5
+    * hex-prefix of the stringified doc_id as a 48-bit integer, mod
+    * `buckets`. ONE definition (plus its SQL twin below) for every
+    * bucket-keyed operator — [[hashSplit]], [[sampleBySource]],
+    * [[packSequences]] — so the scheme cannot silently diverge between
+    * call sites or engines.
+    */
+  def docIdBucketCol(buckets: Int): Column =
+    pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+
+  /** DuckDB twin of [[docIdBucketCol]]. */
+  def docIdBucketSql(buckets: Int): String =
+    s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % $buckets"
 
   /** Corpus vocabulary: token -> frequency, top `topK` by count with a
     * deterministic token tie-break — the seed step for building a
@@ -332,9 +346,7 @@ object TextStats {
   def packSequences(documents: DataFrame, tokenBudget: Int, nShards: Int = 256): DataFrame = {
     require(tokenBudget > 0 && nShards > 0, s"budget=$tokenBudget shards=$nShards")
     import org.apache.spark.sql.expressions.Window
-    val shard = pmod(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
-        .cast("long"), lit(nShards.toLong))
+    val shard = docIdBucketCol(nShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
@@ -349,7 +361,7 @@ object TextStats {
 
   def packSequencesOracle(tokenBudget: Int, nShards: Int): String =
     s"""WITH t AS (SELECT doc_id,
-       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % $nShards AS INT) AS shard,
+       |  CAST(${docIdBucketSql(nShards)} AS INT) AS shard,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
        |FROM documents),
        |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
@@ -372,9 +384,7 @@ object TextStats {
   def hashSplit(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split: train=$trainPct val=$valPct")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
-        .cast("long"), lit(100L))
+    val bucket = docIdBucketCol(100)
     documents.select(
       col("doc_id"),
       bucket.cast("int").as("bucket"),
@@ -385,9 +395,9 @@ object TextStats {
 
   def hashSplitOracle(trainPct: Int, valPct: Int): String =
     s"""SELECT doc_id,
-       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS INT) AS bucket,
-       |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < $trainPct THEN 'train'
-       |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val'
+       |  CAST(${docIdBucketSql(100)} AS INT) AS bucket,
+       |  CASE WHEN ${docIdBucketSql(100)} < $trainPct THEN 'train'
+       |       WHEN ${docIdBucketSql(100)} < ${trainPct + valPct} THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 }

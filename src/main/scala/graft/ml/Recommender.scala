@@ -50,14 +50,27 @@ object Recommender {
     * executable claim instead of a hand-derived constant.
     */
   def randomHitRateBaseline(orders: DataFrame, lineitem: DataFrame, n: Int = 5): Double =
-    n.toDouble / ratings(orders, lineitem).select(col("item")).distinct().count()
+    randomHitRateBaselineOf(ratings(orders, lineitem), n)
+
+  /** [[randomHitRateBaseline]] over an already-built rating matrix, so an
+    * evaluation computing several metrics pays the orders/lineitem join
+    * once (MlSpec builds the frame once and feeds both this and
+    * [[holdoutHitRateOf]]).
+    */
+  def randomHitRateBaselineOf(ratings: DataFrame, n: Int): Double =
+    n.toDouble / ratings.select(col("item")).distinct().count()
 
   def holdoutHitRate(orders: DataFrame, lineitem: DataFrame, n: Int = 5,
-                     seed: Long = 42L, trainPct: Int = 80): Double = {
+                     seed: Long = 42L, trainPct: Int = 80): Double =
+    holdoutHitRateOf(ratings(orders, lineitem), n, seed, trainPct)
+
+  /** [[holdoutHitRate]] over an already-built rating matrix. */
+  def holdoutHitRateOf(ratings: DataFrame, n: Int = 5,
+                       seed: Long = 42L, trainPct: Int = 80): Double = {
     val bucket = pmod(
       conv(substring(md5(concat_ws(":", col("user"), col("item")).cast("binary")), 1, 12), 16, 10)
         .cast("long"), lit(100L))
-    val withBucket = ratings(orders, lineitem).withColumn("bucket", bucket).cache()
+    val withBucket = ratings.withColumn("bucket", bucket).cache()
     val train = withBucket.filter(col("bucket") < trainPct).drop("bucket")
     val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
     val model = als(seed).fit(train)

@@ -100,8 +100,11 @@ object ExtensionQueries {
   private val stagedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedEventsDir(d: String): String =
     stagedEvents.getOrElseUpdate(d, {
+      // dir name embeds the sanitized full path (collision-free), not a
+      // 32-bit hash: two sf paths colliding on hashCode would silently
+      // serve one another's staged events once memoized
       val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_io", s"e4_events_${math.abs(d.hashCode)}")
+        "graft_io", "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),

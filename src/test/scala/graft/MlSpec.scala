@@ -67,8 +67,12 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     assert(perUser.nonEmpty && perUser.forall(_.getAs[Long]("count") <= 3))
     // fit QUALITY band (not just coverage): deterministic hash-split
     // holdout, hit-rate@5 of held-out interactions in the model's top-5
-    val hitRate = Recommender.holdoutHitRate(c.orders, c.lineitem, 5)
-    val baseline = Recommender.randomHitRateBaseline(c.orders, c.lineitem, 5)
+    // build the rating matrix ONCE for both eval metrics (the
+    // orders/lineitem join is the expensive part of either)
+    val ratingFrame = Recommender.ratings(c.orders, c.lineitem).cache()
+    val hitRate = Recommender.holdoutHitRateOf(ratingFrame, 5)
+    val baseline = Recommender.randomHitRateBaselineOf(ratingFrame, 5)
+    ratingFrame.unpersist()
     collected += "als_holdout_hit_rate" -> hitRate
     collected += "als_random_baseline" -> baseline
     // The bound is DERIVED from an executable baseline, not calibrated
