@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Catalog
 import graft.ext.{Decontaminate, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -40,6 +41,16 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     val got = Decontaminate.flags(corpus, bench, 8).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> false), got.toString)
+  }
+
+  test("decontaminate: shuffled-fallback path (broadcastBench=false) matches the broadcast plan") {
+    val docs = Catalog(spark, sf).documents
+    val bench = docs.filter(expr("doc_id % 50 = 0"))
+    val corpus = docs.filter(expr("doc_id % 50 <> 0"))
+    def flagsOf(broadcast: Boolean) =
+      Decontaminate.flags(corpus, bench, 8, broadcastBench = broadcast)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(flagsOf(true) == flagsOf(false))
   }
 
   test("mixture sample: rate 0 drops all, rate 100 keeps all, default applies to unlisted sources") {
