@@ -58,7 +58,7 @@ object SparkEntry {
     "t6_repetition", "t7_pii_redact", "t8_vocab",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
-    "e5_stateful_sessions",
+    "e5_stateful_sessions", "e6_stream_stream_join",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",

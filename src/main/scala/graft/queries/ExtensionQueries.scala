@@ -362,6 +362,20 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // stream-stream interval join (view -> purchase attribution): inner
+    // joins emit once both sides arrive, so the completed stream equals
+    // the batch interval join exactly — no watermark cutoff
+    "e6_stream_stream_join" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.runAttributionToCompletion(s, stagedEventsDir(d), 30)),
+      Some("""SELECT a.user_id,
+             |  a.event_id AS view_event_id, b.event_id AS purchase_event_id,
+             |  a.ts AS view_ts, b.ts AS purchase_ts
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'view' AND b.event_type = 'purchase'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     // arbitrary stateful streaming #2 (flatMapGroupsWithState, Append +
     // EventTimeTimeout): gap sessions emitted exactly once when the
     // watermark closes them. Oracle = the batch sessionize SQL (e2's

@@ -211,6 +211,59 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: view -> purchase attribution within
+    * `windowMinutes` of the view, per user — the two-sided stateful-join
+    * API family (`StreamingSymmetricHashJoin`), completing the streaming
+    * surface alongside windowed aggs (e1), session_window (e3), and the
+    * custom-state pair (e4/e5).
+    *
+    * Gate contract: an INNER stream-stream join emits a match as soon as
+    * BOTH sides have arrived; the watermarks and the two-sided
+    * time-range condition exist to bound each side's join STATE (a view
+    * older than window+watermark can never match a future purchase and
+    * is evicted), not to gate emission. Run to completion over static
+    * files, the emitted set is therefore EXACTLY the batch interval
+    * join — no final-watermark cutoff (contrast [[statefulSessions]],
+    * where emission itself is watermark-driven).
+    */
+  def streamStreamAttribution(spark: SparkSession, dir: String,
+                              windowMinutes: Int = 30): DataFrame = {
+    val views = readStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val buys = readStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views
+      .join(buys, expr(
+        s"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval $windowMinutes minutes"))
+      .select(
+        col("v_user").as("user_id"),
+        col("view_event_id"), col("purchase_event_id"),
+        col("v_ts").as("view_ts"), col("p_ts").as("purchase_ts"))
+  }
+
+  /** Drive [[streamStreamAttribution]] to completion (append-mode memory
+    * sink); the result equals the batch interval join.
+    */
+  def runAttributionToCompletion(spark: SparkSession, dir: String, windowMinutes: Int = 30,
+                                 queryName: String = "graft_stream_e6"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q: StreamingQuery = streamStreamAttribution(spark, dir, windowMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the hourly aggregate over a static directory to completion via
     * the in-memory sink; returns the result table. Used by tests to prove
     * batch/stream equivalence.

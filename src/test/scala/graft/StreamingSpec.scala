@@ -47,6 +47,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join == batch interval join, exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.runAttributionToCompletion(spark, dir.toString, 30)
+    val e = Catalog(spark, sf).events
+    val views = e.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .selectExpr("user_id AS v_user", "event_id AS view_event_id", "ts AS v_ts")
+    val buys = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id AS p_user", "event_id AS purchase_event_id", "ts AS p_ts")
+    val batch = views.join(buys, org.apache.spark.sql.functions.expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"))
+      .selectExpr("v_user AS user_id", "view_event_id", "purchase_event_id",
+        "v_ts AS view_ts", "p_ts AS purchase_ts")
+    // inner stream-stream joins emit when both sides arrive — run to
+    // completion there is NO watermark cutoff, unlike session emission
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming per-doc token stats == batch t1 projection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docstream")
     java.nio.file.Files.copy(
