@@ -141,7 +141,34 @@ object IoQueries {
       .orderBy(col("week_no"))
   }
 
+  /** Range-sorted layout roundtrip: write orders range-clustered on
+    * o_orderdate, read back with a quarter-range predicate + aggregate.
+    * The hash gate proves the layout round-trips losslessly; the
+    * file-disjointness property that makes the layout PRUNE (each file a
+    * non-overlapping date slice, so min/max stats skip files outside the
+    * quarter) is asserted per-file in WritersSpec.
+    */
+  private def rangeLayoutRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("range")
+    graft.sources.Writers.rangeSortedParquet(
+      Catalog(s, d).orders, s"$tmp/orders_range", "o_orderdate", 8)
+    s.read.parquet(s"$tmp/orders_range")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q41_range_layout" -> (
+      (rangeLayoutRoundtrip _),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     "q40_partition_upsert" -> (
       (dynamicUpsert _),
       // doubling a double is exact (exponent bump), so the oracle can

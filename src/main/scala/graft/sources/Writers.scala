@@ -46,6 +46,22 @@ object Writers {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
 
+  /** Range-sorted layout [beyond S5]: range-partition on `rangeCol` and
+    * sort within partitions before writing, so each output file covers a
+    * disjoint slice of the column and its parquet row-group min/max
+    * stats let range predicates skip whole files/row groups at read time
+    * — the third layout tool next to hive partitioning (prune by
+    * directory, low-cardinality keys) and bucketing (exchange-free
+    * equi-joins): the clustered layout for high-cardinality range-
+    * filtered columns like timestamps. `numFiles` sizes the files, not
+    * the parallelism of later readers.
+    */
+  def rangeSortedParquet(df: DataFrame, path: String, rangeCol: String,
+                         numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(col(rangeCol))
+      .write.mode("overwrite").parquet(path)
+
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)                                    // [S7]
 

@@ -52,6 +52,28 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(got == Set((1L, 10), (2L, 10), (30L, 20), (31L, 20)), got.toString)
   }
 
+  test("range-sorted layout: output files cover disjoint o_orderdate slices") {
+    val dir = tmp()
+    Writers.rangeSortedParquet(Catalog(spark, sf).orders, s"$dir/r", "o_orderdate", 4)
+    // per-file min/max must not overlap — this disjointness is exactly
+    // what lets parquet row-group stats skip files outside a range
+    // predicate at read time
+    val files = new java.io.File(s"$dir/r").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length >= 2, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      // epoch micros (NTZ timestamps surface as LocalDateTime in rows)
+      val r = spark.read.parquet(f)
+        .selectExpr("min(unix_micros(to_utc_timestamp(o_orderdate, 'UTC')))",
+          "max(unix_micros(to_utc_timestamp(o_orderdate, 'UTC')))").head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, prevMax), (nextMin, _)) =>
+      assert(prevMax <= nextMin, s"overlapping file ranges: $prevMax > $nextMin")
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5% (the scale variant of A2)") {
     val o = Catalog(spark, sf).orders
     val r = o.agg(
