@@ -367,7 +367,10 @@ object ExtensionQueries {
     // the batch interval join exactly — no watermark cutoff
     "e6_stream_stream_join" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStream.runAttributionToCompletion(s, stagedEventsDir(d), 30)),
+        // 8 state partitions: the gate's join state is kilobytes, and a
+        // stream-stream join opens 4 state stores per partition per side
+        graft.streaming.EventStream.runAttributionToCompletion(
+          s, stagedEventsDir(d), 30, statePartitions = Some(8))),
       Some("""SELECT a.user_id,
              |  a.event_id AS view_event_id, b.event_id AS purchase_event_id,
              |  a.ts AS view_ts, b.ts AS purchase_ts

@@ -249,18 +249,32 @@ object EventStream {
 
   /** Drive [[streamStreamAttribution]] to completion (append-mode memory
     * sink); the result equals the batch interval join.
+    *
+    * `statePartitions`: a streaming query pins its state partitioning to
+    * `spark.sql.shuffle.partitions` AT START, and a stream-stream join
+    * opens FOUR state stores per partition per side — at the batch
+    * default of 32 that is ~130 store instances of bring-up per run for
+    * kilobytes of state. Sizing state partitions to expected state
+    * volume (not to the batch shuffle default) is the standard stateful-
+    * streaming deployment knob; pass None to inherit the session value
+    * (what a large deployment with real state volume would do).
     */
   def runAttributionToCompletion(spark: SparkSession, dir: String, windowMinutes: Int = 30,
-                                 queryName: String = "graft_stream_e6"): DataFrame = {
+                                 queryName: String = "graft_stream_e6",
+                                 statePartitions: Option[Int] = None): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val q: StreamingQuery = streamStreamAttribution(spark, dir, windowMinutes)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q: StreamingQuery = streamStreamAttribution(spark, dir, windowMinutes)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 
