@@ -50,7 +50,7 @@ object SparkEntry {
     "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
-    "d8_dup_clusters", "d9_decontaminate",
+    "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",

@@ -204,6 +204,14 @@ object ExtensionQueries {
       }),
       Some(Decontaminate.flagsOracle(8, "doc_id % 50 = 0"))),
 
+    // cross-document substring (span) dedup: grid-window rolling hashes,
+    // single hash-bucket shuffle (digests on the wire, never span text),
+    // stop-bucket cap, exact-substring verify on the capped pair set
+    "d10_span_dedup" -> (
+      ((s: SparkSession, d: String) =>
+        SpanDedup.spanPairs(CorpusPipeline.spreadText(Catalog(s, d).documents))),
+      Some(SpanDedup.spanPairsOracle())),
+
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
 

@@ -75,6 +75,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("SortMergeJoin"), s"corpus grams fell back to sort-merge:\n$p")
   }
 
+  test("d10: one digest-only corpus shuffle; pair verify never sort-merges") {
+    // the 100-TB contract for span dedup: the corpus-wide stage ships
+    // (hash, doc_id, pos) triples through exactly ONE hash shuffle with
+    // map-side partial bucket build; span text is only materialized for
+    // the capped pair set, and nothing sort-merges or goes cartesian
+    val p = plan("d10_span_dedup")
+    assert(p.contains("windowrollinghashes"), s"native grid-hash expression missing:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"bucket build missing map-side partial aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"span dedup should shuffle the corpus exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair verify fell off the broadcast path:\n$p")
+  }
+
   test("t6/c3: per-row corpus ops plan without any exchange") {
     // repetition scoring and mixture sampling are pure projection/filter
     // — any Exchange means a regression re-introduced a shuffle
