@@ -52,7 +52,7 @@ object SparkEntry {
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
-    "c4_pack_sequences",
+    "c4_pack_sequences", "c5_mixture_epochs",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab",

@@ -282,14 +282,86 @@ object TextStats {
   }
 
   def sampleBySourceOracle(ratesPct: Map[String, Int], defaultPct: Int): String = {
-    val cases = ratesPct.toSeq.sortBy(_._1)
-      .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
-      .mkString(" ")
+    // empty map: a bare CASE has no WHEN arms and is invalid SQL, while
+    // the Spark twin's foldLeft degrades to the default rate — emit the
+    // constant so both twins agree on the edge
+    val rateExpr =
+      if (ratesPct.isEmpty) defaultPct.toString
+      else {
+        val cases = ratesPct.toSeq.sortBy(_._1)
+          .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+          .mkString(" ")
+        s"(CASE $cases ELSE $defaultPct END)"
+      }
     s"""SELECT doc_id, source,
        |  CAST(${docIdBucketSql(100)} AS INT) AS bucket
        |FROM documents
        |WHERE ${docIdBucketSql(100)}
-       |  < (CASE $cases ELSE $defaultPct END)""".stripMargin
+       |  < $rateExpr""".stripMargin
+  }
+
+  /** Deterministic mixture with *upsampling*: per-source rates as
+    * percentages where values above 100 repeat documents (230 = 2.3
+    * epochs: two guaranteed copies, a third for the 30% of docs whose
+    * md5 bucket falls under the fractional part). The dual of
+    * [[sampleBySource]] (which only downsamples) — training mixes
+    * routinely over-represent small high-quality sources across epochs.
+    * Copy generation is `explode(sequence(...))` per row: no shuffle, no
+    * randomness, stable as the corpus grows.
+    *
+    * `order_key` is md5(seed : doc_id : epoch) — a reproducible,
+    * engine-independent global shuffle order for training-data writing.
+    * It is emitted as a SORTABLE KEY, not a materialized rank: the
+    * writer orders by it (`repartitionByRange(order_key)` + in-partition
+    * sort at scale), so no single-partition global window ever runs.
+    */
+  def mixtureEpochs(documents: DataFrame, ratesPct: Map[String, Int],
+                    defaultPct: Int, seed: String): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(_ >= 0),
+      s"epoch rates must be non-negative percentages: $ratesPct default=$defaultPct")
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"),
+        ((rate / 100).cast("int") +
+          when(docIdBucketCol(100) < rate % 100, 1).otherwise(0)).as("copies"))
+      // sequence(1, 0) yields a DESCENDING [1, 0] — drop zero-copy docs
+      // before exploding rather than relying on an empty sequence
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("copies"))).as("epoch"))
+      .withColumn("order_key",
+        md5(concat_ws(":", lit(seed), col("doc_id"), col("epoch")).cast("binary")))
+  }
+
+  /** DuckDB twin of [[mixtureEpochs]]: same rate CASE, same md5 bucket
+    * for the fractional copy, same seed:doc:epoch order key;
+    * `range(1, copies + 1)` drops zero-copy docs like the Spark filter.
+    */
+  def mixtureEpochsOracle(ratesPct: Map[String, Int], defaultPct: Int,
+                          seed: String): String = {
+    val rateExpr =
+      if (ratesPct.isEmpty) defaultPct.toString
+      else {
+        val cases = ratesPct.toSeq.sortBy(_._1)
+          .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+          .mkString(" ")
+        s"(CASE $cases ELSE $defaultPct END)"
+      }
+    s"""WITH rated AS (
+       |  SELECT doc_id, source,
+       |    ($rateExpr // 100)
+       |      + (CASE WHEN ${docIdBucketSql(100)} < $rateExpr % 100
+       |         THEN 1 ELSE 0 END) AS copies
+       |  FROM documents),
+       |exploded AS (
+       |  SELECT doc_id, source,
+       |    CAST(unnest(range(1, copies + 1)) AS INT) AS epoch
+       |  FROM rated)
+       |SELECT doc_id, source, epoch,
+       |  md5('$seed' || ':' || doc_id || ':' || epoch) AS order_key
+       |FROM exploded""".stripMargin
   }
 
   /** The engine's shared content-stable document bucket: the md5

@@ -322,6 +322,17 @@ object ExtensionQueries {
       Some(TextStats.sampleBySourceOracle(
         Map("src0" -> 100, "src1" -> 25, "src2" -> 50), 75))),
 
+    // deterministic mixture with upsampling (epoch repeats > 1x) + the
+    // seeded md5 order key for reproducible training-data shuffle order
+    "c5_mixture_epochs" -> (
+      ((s: SparkSession, d: String) => TextStats.mixtureEpochs(
+        Catalog(s, d).documents,
+        Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100,
+        "graft-r9")),
+      Some(TextStats.mixtureEpochsOracle(
+        Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100,
+        "graft-r9"))),
+
     // multimodal frame sampling (chunk + stride, per-frame fingerprints)
     "mm2_frame_sample" -> (
       ((s: SparkSession, d: String) => Multimodal.sampleFrames(Catalog(s, d).documents, 64, 4)),

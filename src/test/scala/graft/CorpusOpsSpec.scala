@@ -72,6 +72,35 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(kept.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("mixture epochs: whole copies guaranteed, fractional via buckets, zero drops, keys stable") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val mixed = TextStats.mixtureEpochs(docs,
+      Map("src0" -> 300, "src1" -> 250, "src2" -> 0), 100, "spec-seed").collect()
+    val bySrc = mixed.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 300)                       // 3.0x: exactly 3 copies each
+    assert(!bySrc.contains("src2"))                    // 0x: dropped entirely
+    assert(bySrc("src3") == 100)                       // default 1.0x: one copy each
+    val s1 = bySrc("src1")                             // 2.5x: 2 or 3 per doc
+    assert(s1 > 225 && s1 < 275, s"src1 emitted $s1 rows of 100 docs at 2.5x")
+    // every src1 doc has epochs 1..k contiguous (2 <= k <= 3)
+    val epochs = mixed.filter(_.getAs[String]("source") == "src1")
+      .groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Int]("epoch")).sorted.toSeq).toMap
+    assert(epochs.values.forall(e => e == (1 to e.max) && e.max >= 2 && e.max <= 3))
+    // order keys: unique per (doc, epoch), deterministic across runs,
+    // changed by the seed
+    assert(mixed.map(_.getAs[String]("order_key")).distinct.length == mixed.length)
+    val again = TextStats.mixtureEpochs(docs,
+      Map("src0" -> 300, "src1" -> 250, "src2" -> 0), 100, "spec-seed").collect()
+    assert(mixed.map(_.getAs[String]("order_key")).sorted.toSeq ==
+      again.map(_.getAs[String]("order_key")).sorted.toSeq)
+    val reseeded = TextStats.mixtureEpochs(docs,
+      Map("src0" -> 300, "src1" -> 250, "src2" -> 0), 100, "other-seed").collect()
+    assert(mixed.map(_.getAs[String]("order_key")).toSet
+      .intersect(reseeded.map(_.getAs[String]("order_key")).toSet).isEmpty)
+  }
+
   test("packSequences: bins fill to the budget in doc_id order within a shard") {
     // one shard (nShards=1) makes the packing hand-checkable: docs of 4
     // tokens each into a 10-token budget -> starts at 0,4,8,12,16,...

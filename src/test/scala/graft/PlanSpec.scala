@@ -93,7 +93,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
   test("t6/c3: per-row corpus ops plan without any exchange") {
     // repetition scoring and mixture sampling are pure projection/filter
     // — any Exchange means a regression re-introduced a shuffle
-    for (q <- Seq("t6_repetition", "c3_mixture_sample")) {
+    // c5's epoch explode is a narrow Generate — upsampling must never
+    // shuffle either
+    for (q <- Seq("t6_repetition", "c3_mixture_sample", "c5_mixture_epochs")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }
