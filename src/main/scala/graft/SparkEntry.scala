@@ -61,6 +61,7 @@ object SparkEntry {
     "e5_stateful_sessions", "e6_stream_stream_join",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
+    "q42_inferred_csv", "q43_local_source",
     "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",

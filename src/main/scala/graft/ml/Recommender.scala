@@ -66,19 +66,49 @@ object Recommender {
 
   /** [[holdoutHitRate]] over an already-built rating matrix. */
   def holdoutHitRateOf(ratings: DataFrame, n: Int = 5,
-                       seed: Long = 42L, trainPct: Int = 80): Double = {
+                       seed: Long = 42L, trainPct: Int = 80): Double =
+    holdoutMetricsOf(ratings, n, seed, trainPct)._1
+
+  /** Both holdout metrics from ONE ALS fit:
+    *
+    *  - `_1` hit-rate@n of held-out interactions (see [[holdoutHitRate]]);
+    *  - `_2` the train-reconstruction precision RATIO — precision@n of
+    *    the model's top-n against the user's own TRAIN interactions,
+    *    divided by its expectation under a uniform-random recommender
+    *    (avg train items per user / catalog size).
+    *
+    * The ratio is the data-structure probe MlSpec gates: on a
+    * structureless generator ALS cannot even reconstruct what it
+    * trained on much better than chance (measured ~1.15 here), while on
+    * data with real preference signal reconstruction is the EASY
+    * direction and the ratio climbs far above it. If the synthetic
+    * basket generator ever gains genuine structure, this assertion
+    * fails pointing at the DATA, telling the reader to re-derive the
+    * chance band the holdout gate asserts — not to suspect the model.
+    */
+  def holdoutMetricsOf(ratings: DataFrame, n: Int = 5,
+                       seed: Long = 42L, trainPct: Int = 80): (Double, Double) = {
     val bucket = pmod(
       conv(substring(md5(concat_ws(":", col("user"), col("item")).cast("binary")), 1, 12), 16, 10)
         .cast("long"), lit(100L))
     val withBucket = ratings.withColumn("bucket", bucket).cache()
-    val train = withBucket.filter(col("bucket") < trainPct).drop("bucket")
+    val train = withBucket.filter(col("bucket") < trainPct).drop("bucket").cache()
     val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
     val model = als(seed).fit(train)
     val recs = model.recommendForAllUsers(n)
-      .select(col("user"), explode(col("recommendations.item")).as("item"))
+      .select(col("user"), explode(col("recommendations.item")).as("item")).cache()
     val hits = test.join(recs, Seq("user", "item"), "left_semi").count()
     val total = test.count()
-    withBucket.unpersist()
-    if (total == 0) 0.0 else hits.toDouble / total
+    val hitRate = if (total == 0) 0.0 else hits.toDouble / total
+    val nRecs = recs.count()
+    val trainPrecision =
+      if (nRecs == 0) 0.0
+      else recs.join(train, Seq("user", "item"), "left_semi").count().toDouble / nRecs
+    val catalog = ratings.select(col("item")).distinct().count()
+    val avgTrainPerUser = train.groupBy(col("user")).count()
+      .agg(avg(col("count"))).head().getDouble(0)
+    val randomPrecision = avgTrainPerUser / catalog
+    recs.unpersist(); train.unpersist(); withBucket.unpersist()
+    (hitRate, if (randomPrecision == 0.0) 0.0 else trainPrecision / randomPrecision)
   }
 }

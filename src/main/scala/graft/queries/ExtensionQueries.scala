@@ -100,11 +100,14 @@ object ExtensionQueries {
   private val stagedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedEventsDir(d: String): String =
     stagedEvents.getOrElseUpdate(d, {
-      // dir name embeds the sanitized full path (collision-free), not a
-      // 32-bit hash: two sf paths colliding on hashCode would silently
-      // serve one another's staged events once memoized
+      // dir name = sanitized path (readability) + full md5 of the RAW
+      // path (collision-freedom): sanitization alone is not injective
+      // (/a/b and /a_b both sanitize to a_b), and a 32-bit hashCode
+      // could collide silently once memoized
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_io", "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        "graft_io", "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),

@@ -35,6 +35,45 @@ object IoQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Inferred-schema CSV scan (S2): the reference's `inferSchema=true`
+    * path (`DataLoader.java:10`; `MarketBasketAnalysis.java:96-99` reads
+    * all-string, which is inference's degenerate form). Write customer
+    * to CSV, read it back WITHOUT a declared schema, canonical-cast the
+    * inferred columns to the declared types, and hash the full rows
+    * against the original parquet — proving inference reconstructs the
+    * same values the declared-schema read (q20) gets. Inference pays an
+    * extra full pass over the file before any query runs; that cost (a
+    * 100 TB pre-scan at scale) is WHY the engine declares schemas and
+    * keeps this path opt-in.
+    */
+  private def inferredCsv(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("csv_inf")
+    CsvIo.write(Catalog(s, d).customer, s"$tmp/customer_csv")
+    val inferred = CsvIo.readInferred(s, s"$tmp/customer_csv")
+    // canonical-cast: inference picks the narrowest type the data allows
+    // (c_nationkey may infer int where the catalog declares long, and
+    // vice versa); value equality is asserted at the declared types
+    inferred.select(CsvIo.customerSchema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Local-collection source (S10) outside the ML serving path: a
+    * hand-built dimension from `createDataFrame(Seq(...))` — the
+    * reference's manual-row construction
+    * (`SegmentationPrediction.java:74-87`) — broadcast-joined to a
+    * parquet fact and aggregated. The oracle inlines the same rows as a
+    * VALUES CTE. Unmapped segments drop via the inner join.
+    */
+  private def localSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(("BUILDING", "B", 1), ("AUTOMOBILE", "A", 2), ("MACHINERY", "M", 3))
+      .toDF("segment", "code", "priority")
+    Catalog(s, d).customer
+      .join(broadcast(tiers), col("c_mktsegment") === col("segment"))
+      .groupBy(col("segment"), col("code"), col("priority"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
   /** Hive-partitioned parquet roundtrip (S5): write the derived lineitem
     * table partitioned by week_no, read it back filtered to one week —
     * the read plan prunes to that single partition directory (the whole
@@ -209,6 +248,21 @@ object IoQueries {
       (csvRoundtrip _),
       Some("""SELECT c_mktsegment, count(*) AS n_customers,
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
-             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q42_inferred_csv" -> (
+      (inferredCsv _),
+      Some("""SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey,
+             |  c_acctbal, c_mktsegment
+             |FROM customer""".stripMargin)),
+
+    "q43_local_source" -> (
+      (localSource _),
+      Some("""WITH tiers(segment, code, priority) AS (
+             |  VALUES ('BUILDING', 'B', 1), ('AUTOMOBILE', 'A', 2), ('MACHINERY', 'M', 3))
+             |SELECT segment, code, priority, count(*) AS n_customers,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+             |FROM customer JOIN tiers ON c_mktsegment = segment
+             |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

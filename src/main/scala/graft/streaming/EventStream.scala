@@ -262,20 +262,25 @@ object EventStream {
   def runAttributionToCompletion(spark: SparkSession, dir: String, windowMinutes: Int = 30,
                                  queryName: String = "graft_stream_e6",
                                  statePartitions: Option[Int] = None): DataFrame = {
-    spark.catalog.dropTempView(queryName)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q: StreamingQuery = streamStreamAttribution(spark, dir, windowMinutes)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(queryName)
+    // the override is scoped to a session clone (shared SparkContext and
+    // cache, isolated SQL conf): queries planned concurrently on the
+    // shared session never see the streaming value, and no crash can
+    // leave it behind — there is nothing to restore
+    val session = statePartitions.fold(spark) { n =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s2
+    }
+    session.catalog.dropTempView(queryName)
+    val q: StreamingQuery = streamStreamAttribution(session, dir, windowMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    session.table(queryName)
   }
 
   /** Run the hourly aggregate over a static directory to completion via

@@ -70,11 +70,21 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     // build the rating matrix ONCE for both eval metrics (the
     // orders/lineitem join is the expensive part of either)
     val ratingFrame = Recommender.ratings(c.orders, c.lineitem).cache()
-    val hitRate = Recommender.holdoutHitRateOf(ratingFrame, 5)
+    val (hitRate, reconRatio) = Recommender.holdoutMetricsOf(ratingFrame, 5)
     val baseline = Recommender.randomHitRateBaselineOf(ratingFrame, 5)
     ratingFrame.unpersist()
     collected += "als_holdout_hit_rate" -> hitRate
     collected += "als_random_baseline" -> baseline
+    collected += "als_train_recon_ratio" -> reconRatio
+    // generator-structurelessness gate (same fit, no extra cost): if the
+    // synthetic baskets ever gain real preference signal, train
+    // reconstruction — the EASY direction — jumps first and this fails
+    // pointing at the DATA, with instructions: re-derive the chance band
+    // below before touching the model (measured ratio ~1.15)
+    assert(reconRatio >= 0.5 && reconRatio <= 2.0,
+      s"train-reconstruction ratio $reconRatio left the structureless band [0.5, 2.0]: " +
+        "the basket generator likely gained preference structure — re-derive the " +
+        "holdout chance band instead of hunting a model bug")
     // The bound is DERIVED from an executable baseline, not calibrated
     // from one measurement — and what it pins is chance-level: the
     // synthetic baskets assign parts to customers with no preference
