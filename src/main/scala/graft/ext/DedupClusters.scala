@@ -35,9 +35,16 @@ object DedupClusters {
     */
   def components(documents: DataFrame, pairs: DataFrame, maxIter: Int = 20,
                  checkpointEvery: Int = 1): DataFrame = {
+    // cache the PAIR LIST before unioning it into the symmetric edge
+    // list: the union's two branches otherwise each re-derive the full
+    // pair pipeline inside the edge materialization job (for minhash
+    // pairs that is the banding shuffle + verify joins TWICE — the 10x
+    // scale probe measured d8 paying ~2x its pair cost here). Pairs are
+    // orders of magnitude smaller than the corpus; the cache is noise.
+    val pairsC = pairs.cache()
     // symmetric edge list, cached: reused every iteration
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairsC.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsC.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     // iterate over CONNECTED vertices only: a doc with no edge can never
     // change its label, so singletons (the overwhelming majority of a
@@ -93,9 +100,10 @@ object DedupClusters {
           "some component's diameter exceeds maxIter; raise maxIter (labels would " +
           "otherwise silently diverge from min-reachable-doc_id semantics)")
     // the converged labels are checkpointed/cached, so nothing lazy
-    // reads the edge list anymore — release it instead of leaking one
-    // cached edge frame per components() call into the session
+    // reads the edge list anymore — release it (and the pair cache)
+    // instead of leaking cached frames per components() call
     edges.unpersist()
+    pairsC.unpersist()
     documents.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
