@@ -55,7 +55,7 @@ object SparkEntry {
     "c4_pack_sequences", "c5_mixture_epochs",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
-    "t6_repetition", "t7_pii_redact", "t8_vocab",
+    "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join",

@@ -415,7 +415,17 @@ object TextStats {
     * start position within the bin, so downstream writers can place
     * every doc without re-scanning.
     */
-  def packSequences(documents: DataFrame, tokenBudget: Int, nShards: Int = 256): DataFrame = {
+  def packSequences(documents: DataFrame, tokenBudget: Int, nShards: Int = 256): DataFrame =
+    packSequencesBy(documents, tokenBudget, nShards, nWordsCol(col("text")))
+
+  /** [[packSequences]] with a caller-chosen token counter — in
+    * particular [[graft.functions.BpeTokenCount]], so bins budget by
+    * tokenizer-faithful counts instead of whitespace words (whitespace
+    * under-counts what a model actually consumes; c4b gates the BPE
+    * form against the recursive-CTE replay).
+    */
+  def packSequencesBy(documents: DataFrame, tokenBudget: Int, nShards: Int,
+                      tokens: Column): DataFrame = {
     require(tokenBudget > 0 && nShards > 0, s"budget=$tokenBudget shards=$nShards")
     import org.apache.spark.sql.expressions.Window
     val shard = docIdBucketCol(nShards)
@@ -423,7 +433,7 @@ object TextStats {
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), shard.cast("int").as("shard"),
-        nWordsCol(col("text")).cast("long").as("n_tokens"))
+        tokens.cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("shard"), col("n_tokens"),
@@ -436,7 +446,25 @@ object TextStats {
        |  CAST(${docIdBucketSql(nShards)} AS INT) AS shard,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
        |FROM documents),
-       |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |${packOracleTail(tokenBudget)}""".stripMargin
+
+  /** The BPE-budget packing oracle (c4b): identical shard/window/bin
+    * arithmetic over the recursive-CTE token counts.
+    */
+  def packSequencesBpeOracle(tokenBudget: Int, nShards: Int): String =
+    s"""WITH RECURSIVE
+       |${graft.functions.BpeTokenize.oracleCtes("bpe")},
+       |t AS (SELECT d.doc_id,
+       |  CAST(${docIdBucketSql(nShards)} AS INT) AS shard,
+       |  b.n_bpe_tokens AS n_tokens
+       |FROM documents d JOIN bpe b USING (doc_id)),
+       |${packOracleTail(tokenBudget)}""".stripMargin
+
+  /** Shared tail of the packing oracles: cumulative-before window within
+    * shards over a `t(doc_id, shard, n_tokens)` CTE, then bin math.
+    */
+  private def packOracleTail(tokenBudget: Int): String =
+    s"""c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
        |    PARTITION BY shard ORDER BY doc_id ASC
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |FROM t)
@@ -444,6 +472,23 @@ object TextStats {
        |  cum_before // $tokenBudget AS bin,
        |  cum_before % $tokenBudget AS bin_offset
        |FROM c""".stripMargin
+
+  /** Tokenizer-faithful per-doc token counts (t9): the native greedy
+    * longest-match count beside the whitespace count it refines.
+    */
+  def bpeTokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      nWordsCol(col("text")).cast("long").as("n_ws_tokens"),
+      graft.functions.BpeTokenCount.of(col("text")).as("n_bpe_tokens"))
+
+  def bpeTokenCountsOracle: String =
+    s"""WITH RECURSIVE
+       |${graft.functions.BpeTokenize.oracleCtes("bpe")}
+       |SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       |  b.n_bpe_tokens
+       |FROM documents d JOIN bpe b USING (doc_id)""".stripMargin
 
   /** Deterministic content-stable train/val/test assignment: bucket =
     * md5(doc_id) mod 100 (the engine's shared md5 hex-prefix integer

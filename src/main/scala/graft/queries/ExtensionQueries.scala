@@ -325,6 +325,20 @@ object ExtensionQueries {
       Some(TextStats.sampleBySourceOracle(
         Map("src0" -> 100, "src1" -> 25, "src2" -> 50), 75))),
 
+    // tokenizer-faithful token counts: native greedy longest-match over
+    // the embedded merges vocab, replayed by a recursive-CTE oracle
+    "t9_bpe_tokens" -> (
+      ((s: SparkSession, d: String) => TextStats.bpeTokenCounts(Catalog(s, d).documents)),
+      Some(TextStats.bpeTokenCountsOracle)),
+
+    // c4's packing budgeted by t9's tokenizer-faithful counts instead of
+    // whitespace words
+    "c4b_pack_bpe" -> (
+      ((s: SparkSession, d: String) => TextStats.packSequencesBy(
+        Catalog(s, d).documents, 500, 16,
+        graft.functions.BpeTokenCount.of(col("text")))),
+      Some(TextStats.packSequencesBpeOracle(500, 16))),
+
     // deterministic mixture with upsampling (epoch repeats > 1x) + the
     // seeded md5 order key for reproducible training-data shuffle order
     "c5_mixture_epochs" -> (
