@@ -140,9 +140,17 @@ object EventStream {
     * on emit), so state size is bounded by user concurrency, not
     * history. Cross-batch merging assumes batches arrive in event-time
     * order (true for the single-file source here and for time-ordered
-    * file drops); events older than the watermark are late data and
-    * their sessions may already have emitted, exactly as in any
-    * watermarked aggregation.
+    * file drops). Late data lands in one of two regimes, both measured
+    * and pinned by StreamingSpec's late-data fixture. Structured
+    * Streaming keeps two watermark values (the SPARK-40925 split):
+    * late-row FILTERING uses the previous batch's watermark, state
+    * eviction/timeouts use the current one. So an event behind the
+    * current batch's watermark but ahead of the previous batch's (the
+    * one-batch grace window) still reaches the state function and
+    * merges into its still-open session, which emits once, extended;
+    * an event behind the previous batch's watermark is dropped by the
+    * exec's late-row filter before the function ever sees it — no
+    * fragment session over an emitted span, no duplicate emission.
     */
   def statefulSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -47,6 +47,73 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("e5 late data: one-batch grace merges, older events drop before the state function") {
+    // Executable form of the documented e5 caveat (cross-batch merging
+    // assumes event-time-ordered file arrival). Structured Streaming
+    // keeps TWO watermarks (the SPARK-40925 split): late-row filtering
+    // uses the LATE-EVENTS watermark — the previous batch's value — and
+    // state eviction/timeout uses the current one. For
+    // flatMapGroupsWithState that yields exactly two late-data regimes,
+    // both pinned here (measured, see the doc on statefulSessions):
+    //  (a) one-batch grace: an event behind the CURRENT batch's
+    //      watermark but ahead of the PREVIOUS batch's still reaches
+    //      the state function and merges into its (still-open, since
+    //      emission defers to the close-check in the same invocation)
+    //      session, which emits once, extended;
+    //  (b) anything behind the previous batch's watermark is dropped by
+    //      the exec's late-row filter BEFORE the state function: no
+    //      fragment session, no duplicate emission, the group function
+    //      never even sees the row.
+    // Sessions whose end + gap the final watermark never passes stay in
+    // state, unemitted.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    def ns(s: String): Long =
+      java.time.Instant.parse(s).getEpochSecond * 1000000000L
+    def writeFile(name: String, modMs: Long,
+                  rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.getFileName.toString
+        .endsWith(".parquet")).findFirst().get()
+      val target = dir.resolve(name)
+      java.nio.file.Files.copy(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    val now = System.currentTimeMillis()
+    // batch 1: user 1 session [10:00, 10:05]; user 2 at 12:00 pushes the
+    // post-batch watermark to 12:00, far past that session's close point
+    writeFile("f1.parquet", now - 120000, Seq(
+      (1L, ns("2024-01-01T10:00:00Z"), 1L, "view", 1.0, ""),
+      (2L, ns("2024-01-01T10:05:00Z"), 1L, "view", 1.0, ""),
+      (3L, ns("2024-01-01T12:00:00Z"), 2L, "view", 1.0, "")))
+    // batch 2: event 4 at 10:02 is behind the current watermark (12:00)
+    // but ahead of the previous batch's (epoch) — regime (a): it merges,
+    // the session closes in the same invocation and emits with 3
+    // events; user 3 at 12:30 advances the next watermark
+    writeFile("f2.parquet", now - 60000, Seq(
+      (4L, ns("2024-01-01T10:02:00Z"), 1L, "view", 1.0, ""),
+      (5L, ns("2024-01-01T12:30:00Z"), 3L, "view", 1.0, "")))
+    // batch 3: event 6 at 10:03 is behind the PREVIOUS batch's watermark
+    // (12:00) — regime (b): dropped before the state function; no
+    // fragment session over the emitted span, no duplicate
+    writeFile("f3.parquet", now, Seq(
+      (6L, ns("2024-01-01T10:03:00Z"), 1L, "view", 1.0, "")))
+    val out = EventStream.runStatefulSessionsToCompletion(spark, dir.toString, 30,
+      queryName = "graft_late_e5")
+      .selectExpr("user_id", "CAST(session_start AS STRING) AS s",
+        "CAST(session_end AS STRING) AS e", "n_events")
+      .collect()
+    assert(out.length == 1, s"expected exactly 1 emitted session, got: ${out.mkString("; ")}")
+    val merged = out.head
+    assert(merged.getAs[Long]("user_id") == 1L && merged.getAs[Long]("n_events") == 3L &&
+      merged.getAs[String]("s").startsWith("2024-01-01 10:00:00") &&
+      merged.getAs[String]("e").startsWith("2024-01-01 10:05:00"),
+      s"regime (a) session wrong: $merged")
+  }
+
   test("stream-stream interval join == batch interval join, exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin")
     java.nio.file.Files.copy(
