@@ -50,19 +50,22 @@ object SparkEntry {
     "q17_global_agg", "q18_collect_set", "q19_explode_tokens",
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
-    "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup",
+    "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
+    "s6_ann_pq",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
-    "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens", "c4b_pack_bpe",
+    "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
+    "t10_quality_model", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source",
-    "q22_rollup", "q23_cube", "q24_window_frames", "q25_sql_api",
+    "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
+    "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

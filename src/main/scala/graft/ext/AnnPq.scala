@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Product-quantization (PQ) approximate nearest neighbors — the
+  * compressed-domain scale path for similarity search, alongside sign-LSH
+  * ([[AnnLsh]]) and IVF cells ([[AnnIvf]]).
+  *
+  * PQ splits each `dim`-float vector into `nSub` subvectors and stores
+  * only the id of the nearest per-subspace codebook entry: `nSub` small
+  * ints (here 8 bytes) instead of `dim` floats (256 bytes) — a 32×
+  * compression of the candidate scan. Query scoring is
+  * asymmetric-distance computation (ADC): one distance table of
+  * `nSub × nCodes` integers per query, then each candidate costs `nSub`
+  * table lookups + adds — no float math per candidate at all. At 100 TB
+  * this is what makes exhaustive candidate scans affordable: the scan
+  * reads the 8-byte code column (a 32× I/O cut), the per-candidate cost
+  * is 8 integer adds, and the table build is per-query constant work. The
+  * natural composition is IVF-PQ — [[AnnIvf]]'s cells bound WHICH
+  * candidates are scanned, this operator's codes bound what each
+  * candidate COSTS; the two are orthogonal and share the argmin/assign
+  * machinery.
+  *
+  * Determinism: codebooks are fixed data (the first `nCodes` vectors by
+  * vec_id, the [[AnnIvf.fixedCentroids]] convention), all distances live
+  * on the [[graft.functions.QuantizedDot]] integer grid
+  * (`score = |c|² − 2·v·c`, the per-row-constant `|v|²` dropped), and
+  * every argmin/rank breaks ties to the lower id — so the WHOLE path
+  * (encode, table build, ADC scan, rank, exact rescore) is hash-gated by
+  * [[topKOracle]]. A k-means-fitted codebook variant would relate to this
+  * exactly as s3 relates to s5: statistically better centroids, identical
+  * plan, and the fit is the one piece ANSI SQL cannot replay.
+  */
+object AnnPq {
+
+  /** Codebook `(m)(j)` = subspace-`m` slice of the embedding with
+    * `vec_id = j` — fixed, SQL-replayable, collected once driver-side
+    * (`nSub × nCodes × dsub` floats — kilobytes; the moral equivalent of
+    * a broadcast).
+    */
+  def fixedCodebooks(embeddings: DataFrame, nSub: Int = 8,
+                     nCodes: Int = 16): Array[Array[Array[Float]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seeds = embeddings.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(seeds.length == nCodes, s"corpus smaller than nCodes=$nCodes")
+    val dim = seeds.head.length
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val dsub = dim / nSub
+    Array.tabulate(nSub, nCodes)((m, j) => seeds(j).slice(m * dsub, (m + 1) * dsub))
+  }
+
+  private def quantL(x: Float): Long =
+    math.floor(x.toDouble * graft.functions.QuantizedDot.Grid).toLong
+
+  /** Subspace-`m` slice of a vector column (`slice` is 1-based). */
+  private def sub(v: Column, m: Int, dsub: Int): Column = slice(v, m * dsub + 1, dsub)
+
+  /** Per-code `struct(score, code)` array for subspace `m`:
+    * `score = |c|² − 2·v_m·c` on the integer grid (argmin of score =
+    * argmin of subspace L2; ties to the lower code id via lexicographic
+    * struct ordering — the [[AnnIvf]] cellScores pattern).
+    */
+  private def codeScores(v: Column, m: Int, cb: Array[Array[Array[Float]]]): Column = {
+    val dsub = cb(m)(0).length
+    array(cb(m).toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => quantL(x) * quantL(x)).sum
+      struct(
+        (lit(c2) - lit(2L) * VectorOps.dotQ(sub(v, m, dsub), typedLit(c))).as("score"),
+        lit(j).as("code"))
+    }: _*)
+  }
+
+  /** `(vec_id, codes, embedding, nrm)`: the PQ encoding as ONE narrow
+    * exchange-free projection (PlanSpec-pinned, like IVF assign). At
+    * scale only `(vec_id, codes)` is stored — the embedding/norm ride
+    * along here because the local gate rescores exactly without a
+    * second source scan.
+    */
+  def encode(embeddings: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      array(cb.indices.map(m =>
+        array_min(codeScores(col("embedding"), m, cb)).getField("code")): _*).as("codes"),
+      col("embedding"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"))
+
+  /** Top-k in two stages — the standard PQ deployment shape: (1) ADC
+    * shortlist of `k × refine` candidates from the compressed codes
+    * (integer table lookups only), (2) exact quantized-cosine rescore and
+    * re-rank of the shortlist. The shortlist is what makes 8-byte codes
+    * usable: ADC alone at tiny k mis-ranks near-ties (compression error),
+    * but the true neighbors land in a modest shortlist almost surely, and
+    * the exact rescore touches only `k × refine` full vectors per query.
+    * `dtab(m)(j)` = the query's subspace-`m` distance-to-code-`j` (same
+    * integer form as encoding, the constant `|q_m|²` dropped —
+    * rank-invariant per query).
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
+           cb: Array[Array[Array[Float]]], refine: Int = 10): DataFrame = {
+    val enc = encode(embeddings, cb)
+      .select(col("vec_id").as("cid"), col("codes"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val qd = queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"),
+      array(cb.indices.map(m =>
+        array(cb(m).indices.map(j => {
+          val c2 = cb(m)(j).map(x => quantL(x) * quantL(x)).sum
+          lit(c2) - lit(2L) * VectorOps.dotQ(sub(col("embedding"), m, cb(m)(j).length), typedLit(cb(m)(j)))
+        }): _*)): _*).as("dtab"))
+    val nSub = cb.length
+    val scored = enc.crossJoin(broadcast(qd))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${nSub - 1}), 0L, (acc, m) -> acc + dtab[m][codes[m]])"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").asc, col("cid").asc)
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * refine)
+      .withColumn("cosine",
+        VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("adc"), col("cosine"))
+  }
+
+  /** DuckDB replay of [[fixedCodebooks]] + [[encode]] + [[topK]] over the
+    * `embeddings` table with queries `vec_id < maxQid`: identical grid
+    * quantization, identical `|c|² − 2·v·c` argmin with ties to the lower
+    * code, identical ADC sum, identical rank and exact rescore.
+    */
+  def topKOracle(k: Int, maxQid: Long, nSub: Int = 8, nCodes: Int = 16,
+                 refine: Int = 10): String = {
+    val dsub = 64 / nSub
+    s"""WITH ${VectorOps.oracleElems},
+       |cb AS (
+       |  SELECT CAST(vec_id AS INT) AS j, CAST((i - 1) // $dsub AS INT) AS m, i, x
+       |  FROM el WHERE vec_id < $nCodes),
+       |csq AS (SELECT m, j, CAST(SUM(x * x) AS BIGINT) AS c2 FROM cb GROUP BY 1, 2),
+       |edots AS (
+       |  SELECT e.vec_id, c.m, c.j, CAST(SUM(e.x * c.x) AS BIGINT) AS dot
+       |  FROM el e JOIN cb c ON c.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |escore AS (
+       |  SELECT d.vec_id, d.m, d.j, (s.c2 - 2 * d.dot) AS score
+       |  FROM edots d JOIN csq s ON d.m = s.m AND d.j = s.j),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score ASC, j ASC) AS rn
+       |    FROM escore) WHERE rn = 1),
+       |qscore AS (SELECT vec_id AS qid, m, j, score FROM escore WHERE vec_id < $maxQid),
+       |adcs AS (
+       |  SELECT q.qid, c.vec_id AS cid, CAST(SUM(q.score) AS BIGINT) AS adc
+       |  FROM codes c JOIN qscore q ON q.m = c.m AND q.j = c.code
+       |  WHERE c.vec_id <> q.qid
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT qid, cid, adc FROM (
+       |    SELECT qid, cid, adc,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS adc_rank
+       |    FROM adcs) WHERE adc_rank <= ${k * refine}),
+       |dots AS (
+       |  SELECT t.qid, t.cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM shortlist t
+       |  JOIN el a ON a.vec_id = t.qid
+       |  JOIN el b ON b.vec_id = t.cid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rescored AS (
+       |  SELECT t.qid, t.cid, t.adc,
+       |    d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM shortlist t
+       |  JOIN dots d ON t.qid = d.qid AND t.cid = d.cid
+       |  JOIN norms na ON t.qid = na.vec_id
+       |  JOIN norms nb ON t.cid = nb.vec_id),
+       |final AS (
+       |  SELECT qid, cid, adc, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM rescored)
+       |SELECT qid, CAST(rank AS INT) AS rank, cid, adc, cosine
+       |FROM final WHERE rank <= $k""".stripMargin
+  }
+}

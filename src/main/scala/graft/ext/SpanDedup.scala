@@ -77,12 +77,13 @@ object SpanDedup {
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), col("span"))
   }
 
-  /** DuckDB replay of [[spanPairs]]: identical grid, identical Karp-Rabin
-    * fold (via [[RollingHash.oracleSql]] on each grid substring),
-    * identical hash-bucket cap, identical exact-substring verify.
+  /** The shared CTE chain replaying [[spanPairs]] up to the verified pair
+    * set (exposed as `pairs`): identical grid, identical Karp-Rabin fold
+    * (via [[RollingHash.oracleSql]] on each grid substring), identical
+    * hash-bucket cap, identical exact-substring verify.
     */
-  def spanPairsOracle(window: Int = 40, stride: Int = 8, bucketCap: Int = 20): String =
-    s"""WITH grid AS (
+  private def pairCtes(window: Int, stride: Int, bucketCap: Int): String =
+    s"""grid AS (
        |  SELECT doc_id,
        |    CAST(unnest(range(0, greatest(length(text) - ${window - 1}, 0), $stride)) AS INT) AS pos,
        |    text
@@ -97,9 +98,116 @@ object SpanDedup {
        |  SELECT * FROM (
        |    SELECT doc_id, pos, span, h, count(*) OVER (PARTITION BY h) AS bsz
        |    FROM hashed)
-       |  WHERE bsz BETWEEN 2 AND $bucketCap)
-       |SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b,
-       |       a.span AS span
-       |FROM capped a JOIN capped b
-       |  ON a.h = b.h AND a.doc_id < b.doc_id AND a.span = b.span""".stripMargin
+       |  WHERE bsz BETWEEN 2 AND $bucketCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b,
+       |         a.span AS span
+       |  FROM capped a JOIN capped b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id AND a.span = b.span)""".stripMargin
+
+  /** DuckDB replay of [[spanPairs]]. */
+  def spanPairsOracle(window: Int = 40, stride: Int = 8, bucketCap: Int = 20): String =
+    s"""WITH ${pairCtes(window, stride, bucketCap)}
+       |SELECT doc_a, pos_a, doc_b, pos_b, span FROM pairs""".stripMargin
+
+  /** Span removal — the ACT half of the detect→act pair ([[spanPairs]]
+    * detects). Strips every duplicated span from all-but-the-first
+    * occurrence (first = the lexicographically-least doc_id, the kept
+    * side of the `doc_a < doc_b` orientation) and reconstructs the
+    * surviving text, the standard boilerplate-removal step between span
+    * detection and training-data writing.
+    *
+    * Distributed shape on top of [[spanPairs]]'s single corpus shuffle:
+    *  1. removal sites `(doc_id, pos)` — pairs projected to their `b`
+    *    side, distinct (one site may be flagged by many partners);
+    *  2. overlapping/adjacent sites merged into maximal intervals with a
+    *    gaps-and-islands pass: windows partitioned BY DOC, so the work
+    *    distributes over documents and no doc's interval list ever
+    *    leaves one task (a per-doc list is at most `len/stride` entries);
+    *  3. per-doc interval array re-joined to the corpus (removal docs
+    *    are a small fraction — the join broadcasts under AQE) and the
+    *    kept segments stitched by ONE `aggregate` higher-order fold —
+    *    per-row, no explode/re-group of fragment rows at corpus scale.
+    *
+    * Returns every input doc: `(doc_id, text, n_spans_removed,
+    * removed_chars)`, untouched docs pass through with 0/0.
+    */
+  def removeSpans(documents: DataFrame, window: Int = 40, stride: Int = 8,
+                  bucketCap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val removals = spanPairs(documents, window, stride, bucketCap)
+      .select(col("doc_b").as("doc_id"), col("pos_b").as("pos"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val merged = removals
+      .withColumn("prev_max_end",
+        max(col("pos") + window).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + window).as("e"))
+    val ivs = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    documents
+      .join(ivs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("ivs").isNull, col("text")).otherwise(expr(
+          """aggregate(ivs, named_struct('acc', '', 'cur', 0),
+            |  (st, iv) -> named_struct(
+            |    'acc', concat(st.acc, substring(text, st.cur + 1, iv.s - st.cur)),
+            |    'cur', iv.e),
+            |  st -> concat(st.acc, substring(text, st.cur + 1, length(text) - st.cur)))"""
+            .stripMargin)).as("clean_text"),
+        coalesce(size(col("ivs")), lit(0)).as("n_spans_removed"),
+        col("text").as("orig_text"))
+      .select(
+        col("doc_id"),
+        col("clean_text").as("text"),
+        col("n_spans_removed"),
+        (length(col("orig_text")) - length(col("clean_text"))).as("removed_chars"))
+  }
+
+  /** DuckDB replay of [[removeSpans]]: the shared pair CTEs, the same
+    * gaps-and-islands interval merge, segment stitching via ordered
+    * `string_agg` (fragment-per-row — fine at oracle scale; the engine
+    * side folds per-row instead).
+    */
+  def removeSpansOracle(window: Int = 40, stride: Int = 8, bucketCap: Int = 20): String =
+    s"""WITH ${pairCtes(window, stride, bucketCap)},
+       |removals AS (
+       |  SELECT DISTINCT doc_b AS doc_id, pos_b AS pos FROM pairs),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $window) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR pos > max(pos + $window) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM removals),
+       |assigned AS (
+       |  SELECT doc_id, pos,
+       |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS island
+       |  FROM isl),
+       |merged AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + $window AS e
+       |  FROM assigned GROUP BY 1, 2),
+       |segs AS (
+       |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s ASC), 0) AS o, s
+       |  FROM merged
+       |  UNION ALL
+       |  SELECT doc_id, max(e) AS o, NULL AS s FROM merged GROUP BY doc_id),
+       |frags AS (
+       |  SELECT g.doc_id, g.o,
+       |    substr(d.text, g.o + 1, coalesce(g.s, length(d.text)) - g.o) AS frag
+       |  FROM segs g JOIN documents d USING (doc_id)),
+       |cleaned AS (
+       |  SELECT doc_id, string_agg(frag, '' ORDER BY o ASC) AS text,
+       |    CAST(count(*) - 1 AS INT) AS n_spans_removed
+       |  FROM frags GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(c.text, d.text) AS text,
+       |  coalesce(c.n_spans_removed, 0) AS n_spans_removed,
+       |  CAST(length(d.text) - length(coalesce(c.text, d.text)) AS INT) AS removed_chars
+       |FROM documents d LEFT JOIN cleaned c USING (doc_id)""".stripMargin
 }

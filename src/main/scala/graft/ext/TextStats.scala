@@ -130,6 +130,68 @@ object TextStats {
       |            THEN 0.5 ELSE 0.0 END) END AS quality_score
       |FROM q""".stripMargin
 
+  /** Fixed classifier weights for [[modelQuality]]: a linear
+    * quality model of the fastText-filter shape (CCNet/LLaMA-style
+    * corpus filtering) with the coefficients embedded as data. Signs
+    * encode the standard priors — longer docs and stopword-bearing
+    * natural language score up, punctuation soup and over-long
+    * "words" (code/base64) score down.
+    */
+  private val QIntercept = -1.2
+  private val QwLen = 2.0
+  private val QwStop = 1.5
+  private val QwPunct = -3.0
+  private val QwCpw = -0.5
+
+  /** Model-based quality scoring: a linear classifier over the t2
+    * feature family — bounded length, stopword ratio, punctuation
+    * ratio, chars-per-word — plus the keep decision at logit ≥ 0.
+    *
+    * The logit is emitted instead of the sigmoid on purpose: sigmoid
+    * needs `exp`, whose bit-level result is libm-dependent, while the
+    * logit is rational arithmetic in a pinned evaluation order —
+    * bit-identical on any engine — and the keep decision is the same
+    * either way (sigmoid is monotone). One RegexCounts pass per row,
+    * no shuffle: this is a 100 TB map-only filter by construction.
+    */
+  def modelQuality(documents: DataFrame): DataFrame = {
+    val (words, stops, punct) = qualityCounts(col("text"))
+    documents
+      .select(col("doc_id"), words.as("n_words"), stops.as("n_stop"),
+        punct.as("n_punct"), length(col("text")).as("n_chars_t"))
+      .select(
+        col("doc_id"),
+        (lit(QIntercept)
+          + lit(QwLen) * (least(col("n_words"), lit(256)).cast("double") / lit(256.0))
+          + lit(QwStop) * when(col("n_words") > 0,
+              col("n_stop").cast("double") / col("n_words")).otherwise(lit(0.0))
+          + lit(QwPunct) * when(col("n_words") > 0,
+              col("n_punct").cast("double") / col("n_words")).otherwise(lit(0.0))
+          + lit(QwCpw) * (when(col("n_words") > 0,
+              col("n_chars_t").cast("double") / col("n_words")).otherwise(lit(0.0)) / lit(16.0)))
+          .as("logit"))
+      .withColumn("keep", col("logit") >= 0)
+  }
+
+  /** DuckDB replay of [[modelQuality]]: same counts, same weights, same
+    * left-associative addition chain (IEEE doubles are order-sensitive,
+    * so the oracle pins the identical evaluation order).
+    */
+  val modelQualityOracle: String =
+    s"""WITH q AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|it)\\b')) AS INT) AS n_stopwords,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_punct,
+       |  length(text) AS n_chars
+       |FROM documents),
+       |s AS (SELECT doc_id,
+       |  $QIntercept + $QwLen * (CAST(least(n_words, 256) AS DOUBLE) / 256.0)
+       |    + $QwStop * (CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / n_words ELSE 0.0 END)
+       |    + $QwPunct * (CASE WHEN n_words > 0 THEN CAST(n_punct AS DOUBLE) / n_words ELSE 0.0 END)
+       |    + $QwCpw * ((CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END) / 16.0) AS logit
+       |FROM q)
+       |SELECT doc_id, logit, logit >= 0 AS keep FROM s""".stripMargin
+
   /** The [[langId]] `predicted_lang` expression as a bare Column (same
     * rationale as [[qualityScoreCol]]: per-row, join-free filtering).
     */

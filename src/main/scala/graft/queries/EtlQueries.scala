@@ -61,6 +61,29 @@ object EtlQueries {
               |SELECT b.household_key, b.basket_id, b.day, b.product_id, b.quantity,
               |  b.net_sales, b.store_id, b.unit_price, b.discount_rate, b.is_discounted,
               |  p.p_brand, p.p_type
-              |FROM base b JOIN part p ON b.product_id = p.p_partkey""".stripMargin))
+              |FROM base b JOIN part p ON b.product_id = p.p_partkey""".stripMargin)),
+
+    // ingest-time column hygiene gated end to end [P4, P5]:
+    // reference-style "Spaced Caps" headers normalized to
+    // lower_snake_case, a fully-null legacy column dropped by the
+    // single-pass null scan, and a PARTIALLY-null column that must
+    // survive the drop. The gate bites on column names: a missed
+    // rename or an undropped/overdropped column is a schema mismatch.
+    "q44_clean_columns" -> (
+      ((s: SparkSession, d: String) => {
+        import graft.transform.Cleaning
+        import org.apache.spark.sql.functions._
+        val messy = Catalog(s, d).customer.select(
+          col("c_custkey").as("C CustKey"),
+          col("c_name").as("C Name"),
+          col("c_acctbal").as("C AcctBal"),
+          when(pmod(col("c_custkey"), lit(10)) === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("Mkt Segment"),
+          lit(null).cast("string").as("Legacy Code"))
+        Cleaning.dropAllNullColumns(Cleaning.normalizeNames(messy))
+      }),
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS mkt_segment
+             |FROM customer""".stripMargin))
   )
 }

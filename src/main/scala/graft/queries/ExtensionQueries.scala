@@ -215,6 +215,15 @@ object ExtensionQueries {
         SpanDedup.spanPairs(CorpusPipeline.spreadText(Catalog(s, d).documents))),
       Some(SpanDedup.spanPairsOracle())),
 
+    // span REMOVAL (the act half of d10's detect): duplicated spans
+    // stripped from every doc but the lexicographically-first holder,
+    // overlaps merged per doc, surviving text reconstructed by one
+    // per-row fold — full corpus out, untouched docs pass through
+    "d11_span_removal" -> (
+      ((s: SparkSession, d: String) =>
+        SpanDedup.removeSpans(CorpusPipeline.spreadText(Catalog(s, d).documents))),
+      Some(SpanDedup.removeSpansOracle())),
+
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
 
@@ -248,6 +257,16 @@ object ExtensionQueries {
         AnnIvf.topKWith(e, e.filter(col("vec_id") < 10), 5, AnnIvf.fixedCentroids(e, 16))
       }),
       Some(AnnIvf.fixedTopKOracle(5, 10))),
+
+    // product-quantization ANN (third scale path): 32x-compressed codes,
+    // integer ADC scan, exact rescore of the k survivors — hash-gated
+    // end to end under the fixed (SQL-replayable) codebooks
+    "s6_ann_pq" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnPq.topK(e, e.filter(col("vec_id") < 10), 5, AnnPq.fixedCodebooks(e))
+      }),
+      Some(AnnPq.topKOracle(5, 10))),
 
     // token counting (whitespace + BPE-ish)
     "t1_token_counts" -> (
@@ -305,6 +324,13 @@ object ExtensionQueries {
               |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
               |FROM documents)
               |${TextStats.redactPiiOracle("pii")}""".stripMargin)),
+
+    // model-based quality classifier: linear logit over the t2 feature
+    // family with embedded fixed weights (the fastText-filter shape),
+    // exact by rational-arithmetic-only scoring — no sigmoid on the wire
+    "t10_quality_model" -> (
+      ((s: SparkSession, d: String) => TextStats.modelQuality(Catalog(s, d).documents)),
+      Some(TextStats.modelQualityOracle)),
 
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (

@@ -89,6 +89,22 @@ object OlapQueries {
              |  CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid
              |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))""".stripMargin)),
 
+    // PIVOT: per-returnflag quantity with line status spread to columns.
+    // The value list is explicit, so the plan is ONE aggregate pass —
+    // no hidden distinct-values collect job before the pivot (the
+    // two-job form Spark runs when values are omitted, which at 100 TB
+    // is an extra full scan).
+    "q45_pivot" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))),
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+             |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // analytic window frames: running sum + lag/lead
     "q24_window_frames" -> (windowFrames _, Some(windowFramesOracle)),
 

@@ -61,6 +61,26 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("PQ ANN: shortlist+rescore recall@5 vs brute force >= 0.5; encode is exchange-free") {
+    val e = Catalog(spark, sf).embeddings.cache()
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val cb = AnnPq.fixedCodebooks(e)
+    val got = pairs(AnnPq.topK(e, q, 5, cb))
+    val want = pairs(graft.queries.ExtensionQueries.bruteTopK(e, q, 5))
+    assert(want.nonEmpty)
+    // deterministic (fixed codebooks, fixed data): 0.88 at sf0.001, 0.72
+    // at sf0.01 — the floor catches an encode/ADC/shortlist regression
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // the encode stage (the 100-TB write path for the code column) must
+    // stay one narrow projection, like IVF assign
+    val p = AnnPq.encode(e, cb).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode shuffles:\n$p")
+    assert(!p.contains("Join"), s"PQ encode joins:\n$p")
+  }
+
   test("minhash signature similarity estimates Jaccard for near-identical docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -90,6 +90,24 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       s"pair verify fell off the broadcast path:\n$p")
   }
 
+  test("d11: removal sites merge per-doc; verify joins broadcast; no cartesian") {
+    // span removal rides d10's single corpus bucket shuffle; everything
+    // after it must stay on the (small) removal-site stream — interval
+    // merging windows partitioned BY DOC, pair-verify joins broadcast,
+    // and nothing cartesian. The final corpus⟕intervals join is left to
+    // AQE: broadcast when removals are few, shuffle-on-doc_id when
+    // boilerplate is corpus-wide — both are the right plan at their scale.
+    val p = plan("d11_span_removal")
+    assert(p.contains("windowrollinghashes"), s"native grid-hash expression missing:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"bucket build missing map-side partial aggregation:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"pair verify fell off the broadcast path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in span removal:\n$p")
+    assert("Window \\[.*windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      s"interval merge window not partitioned by doc:\n$p")
+  }
+
   test("t6/c3: per-row corpus ops plan without any exchange") {
     // repetition scoring and mixture sampling are pure projection/filter
     // — any Exchange means a regression re-introduced a shuffle

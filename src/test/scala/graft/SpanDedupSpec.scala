@@ -67,6 +67,27 @@ class SpanDedupSpec extends AnyFunSuite with SharedSpark {
     assert(atS1.contains((1L, 0, 4L, 41)))
   }
 
+  test("removeSpans strips later occurrences, merges overlaps, passes untouched docs through") {
+    val span = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS" // exactly 40 chars
+    val filler = "f" * 24
+    val docs = Seq(
+      (1L, span + filler),                 // first holder: KEPT intact
+      (2L, "bbbbbbbb" + span + "bb"),      // later holder at pos 8: span removed
+      // doc 3 repeats doc 1's first 48 chars = two overlapping grid
+      // windows (pos 0 and pos 8) -> ONE merged removal interval [0, 48)
+      (3L, span + filler.take(8) + "ccc"),
+      (4L, "no duplicated content here at all")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeSpans(docs, W, S, 20)
+      .select("doc_id", "text", "n_spans_removed", "removed_chars")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4, "every input doc must come back out")
+    assert(out(1L)._2 == span + filler && out(1L)._3 == 0 && out(1L)._4 == 0)
+    assert(out(2L)._2 == "bbbbbbbb" + "bb" && out(2L)._3 == 1 && out(2L)._4 == 40)
+    assert(out(3L)._2 == "ccc" && out(3L)._3 == 1 && out(3L)._4 == 48)
+    assert(out(4L)._2 == "no duplicated content here at all" && out(4L)._3 == 0)
+  }
+
   test("bucket cap drops boilerplate spans shared by too many grid positions") {
     val span = "Z" * W
     val docs = (1L to 30L).map(i => (i, span + i.toString)).toDF("doc_id", "text")
