@@ -57,13 +57,13 @@ object SparkEntry {
     "s6_ann_pq",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
-    "t10_quality_model", "c4b_pack_bpe",
+    "t10_quality_model", "t11_stratified_take", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
-    "q42_inferred_csv", "q43_local_source",
+    "q42_inferred_csv", "q43_local_source", "q46_zorder_layout",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

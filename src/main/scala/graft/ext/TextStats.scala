@@ -442,6 +442,40 @@ object TextStats {
   def docIdBucketSql(buckets: Int): String =
     s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % $buckets"
 
+  /** Deterministic stratified take: exactly `min(n, |group|)` docs per
+    * group, picked by seeded-md5 order — balanced eval/holdout subsets
+    * that are content-stable (adding docs elsewhere never changes an
+    * existing group's picks ahead of the boundary, and reruns are
+    * byte-identical on any partitioning/engine). The md5 hex string
+    * itself is the sort key: lowercase-hex ASCII orders identically in
+    * any engine, no integer conversion needed.
+    *
+    * Scale shape: rank-≤-n over a window LOOKS like a full per-group
+    * sort, but Spark 4 plans the filter as `WindowGroupLimit` — each
+    * task keeps a per-group top-n heap BEFORE the shuffle (PlanSpec
+    * pins it), so skewed groups ship n rows per task, not their share
+    * of 100 TB.
+    */
+  def stratifiedTake(documents: DataFrame, groupCol: String, n: Int,
+                     seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary"))
+    documents
+      .select(col("doc_id"), col(groupCol), ord.as("pick_order"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("pick_order").asc, col("doc_id").asc)))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col(groupCol), col("rn"))
+  }
+
+  /** DuckDB twin of [[stratifiedTake]]. */
+  def stratifiedTakeOracle(groupCol: String, n: Int, seed: String): String =
+    s"""SELECT doc_id, $groupCol, CAST(rn AS INT) AS rn FROM (
+       |  SELECT doc_id, $groupCol,
+       |    row_number() OVER (PARTITION BY $groupCol
+       |      ORDER BY md5('$seed:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+       |  FROM documents) WHERE rn <= $n""".stripMargin
+
   /** Corpus vocabulary: token -> frequency, top `topK` by count with a
     * deterministic token tie-break — the seed step for building a
     * tokenizer vocab. Shape at scale: explode is a projection, the count

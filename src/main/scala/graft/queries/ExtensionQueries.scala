@@ -325,6 +325,13 @@ object ExtensionQueries {
               |FROM documents)
               |${TextStats.redactPiiOracle("pii")}""".stripMargin)),
 
+    // deterministic stratified take: seeded-md5 top-n per language —
+    // balanced eval subsets; rank<=n plans as WindowGroupLimit (pinned)
+    "t11_stratified_take" -> (
+      ((s: SparkSession, d: String) =>
+        TextStats.stratifiedTake(Catalog(s, d).documents, "lang", 25, "graft-r9")),
+      Some(TextStats.stratifiedTakeOracle("lang", 25, "graft-r9"))),
+
     // model-based quality classifier: linear logit over the t2 feature
     // family with embedded fixed weights (the fastText-filter shape),
     // exact by rational-arithmetic-only scoring — no sigmoid on the wire

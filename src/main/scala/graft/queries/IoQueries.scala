@@ -199,7 +199,36 @@ object IoQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Z-order layout roundtrip: write lineitem clustered on the Morton
+    * interleave of (l_partkey, l_suppkey), read back with a predicate on
+    * BOTH dimensions + aggregate. The hash gate proves the layout
+    * round-trips losslessly; the compact per-file bounding boxes that
+    * make BOTH-dimension predicates skip files (what a single-column
+    * range sort cannot give) are asserted per-file in WritersSpec.
+    */
+  private def zOrderRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("zorder")
+    graft.sources.Writers.zOrderedParquet(
+      Catalog(s, d).lineitem
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+      s"$tmp/lineitem_z", "l_partkey", "l_suppkey", 8)
+    s.read.parquet(s"$tmp/lineitem_z")
+      .filter(col("l_partkey") <= 500 && col("l_suppkey") <= 25)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q46_zorder_layout" -> (
+      (zOrderRoundtrip _),
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM lineitem WHERE l_partkey <= 500 AND l_suppkey <= 25""".stripMargin)),
+
     "q41_range_layout" -> (
       (rangeLayoutRoundtrip _),
       Some("""SELECT o_orderpriority, count(*) AS n_orders,

@@ -62,6 +62,41 @@ object Writers {
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite").parquet(path)
 
+  /** Z-value of two integer keys: their low `bits` bits interleaved
+    * (a's bit i at position 2i+1, b's at 2i) — pure shift/mask Column
+    * algebra, stays in whole-stage codegen. Keys must already be
+    * non-negative and < 2^bits; at scale the usual prep is a rank- or
+    * quantile-quantization of each dimension to that range.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order (Morton-curve) layout [beyond S5]: cluster on the
+    * interleaved bits of TWO keys so each output file covers a compact
+    * rectangle in (colA, colB) space — parquet min/max stats then skip
+    * files for predicates on EITHER or BOTH dimensions. This is the
+    * layout tool range-sorting cannot give: a single-column sort makes
+    * the second dimension's per-file ranges as wide as the table. The
+    * z column orders the write and is then dropped — layout is pure
+    * physical placement, schema unchanged.
+    */
+  def zOrderedParquet(df: DataFrame, path: String, colA: String, colB: String,
+                      numFiles: Int, bits: Int = 16): Unit = {
+    val z = zValue(col(colA), col(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)                                    // [S7]
 

@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       s"interval merge window not partitioned by doc:\n$p")
   }
 
+  test("t11: grouped top-n prunes map-side via WindowGroupLimit") {
+    // rank<=n over a skewed group must NOT ship every group member to
+    // one task: Spark 4 plans the filter as per-task top-n heaps
+    // (Partial) before the shuffle and a Final pass after — each task
+    // ships at most n rows per group regardless of group size
+    val p = plan("t11_stratified_take")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"no map-side (Partial) WindowGroupLimit:\n$p")
+    assert("WindowGroupLimit .*Final".r.findFirstIn(p).isDefined,
+      s"no Final WindowGroupLimit:\n$p")
+  }
+
   test("t6/c3: per-row corpus ops plan without any exchange") {
     // repetition scoring and mixture sampling are pure projection/filter
     // — any Exchange means a regression re-introduced a shuffle

@@ -74,6 +74,32 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("z-order layout: per-file bounding boxes are compact in BOTH dimensions") {
+    import spark.implicits._
+    val dir = tmp()
+    // a full 64x64 grid: perfectly z-clustered into 16 files each file
+    // should cover a 16x16 block (area 256) — 1/16 of the 64x64 domain
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    Writers.zOrderedParquet(grid, s"$dir/z", "a", "b", 16, bits = 6)
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length >= 8, s"expected many z files, got ${files.length}")
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f)
+        .selectExpr("min(a)", "max(a)", "min(b)", "max(b)").head
+      (r.getInt(1) - r.getInt(0) + 1).toLong * (r.getInt(3) - r.getInt(2) + 1)
+    }
+    // a single-column sort on `a` would leave every file's b-range at the
+    // full 64 (area >= 64 * 4 = 256 only if a-range collapses to 4 —
+    // but with ties it's 64 * file-share). z-order bounds BOTH: mean
+    // bounding-box area must be a small fraction of the 4096 domain
+    val mean = areas.sum.toDouble / areas.length
+    assert(mean <= 4096.0 / 8, s"z files are not compact: mean area $mean, areas ${areas.toSeq}")
+    // and the layout is lossless
+    assert(spark.read.parquet(s"$dir/z").count() == 64L * 64)
+  }
+
   test("approx_count_distinct tracks exact within 5% (the scale variant of A2)") {
     val o = Catalog(spark, sf).orders
     val r = o.agg(
