@@ -52,7 +52,7 @@ object SparkEntry {
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
-    "c4_pack_sequences", "c5_mixture_epochs",
+    "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "s6_ann_pq",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
@@ -60,7 +60,7 @@ object SparkEntry {
     "t10_quality_model", "t11_stratified_take", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
-    "e5_stateful_sessions", "e6_stream_stream_join",
+    "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout",

@@ -372,6 +372,27 @@ object ExtensionQueries {
         graft.functions.BpeTokenCount.of(col("text")))),
       Some(TextStats.packSequencesBpeOracle(500, 16))),
 
+    // the END of the training-data pipeline: c5's mixture materialized
+    // to range-sharded parquet on the seeded order_key (each file one
+    // slice of the reproducible global shuffle order, sorted within;
+    // filename order IS the training order — WritersSpec pins the
+    // per-file disjointness) and read back from the committed files.
+    // Content gate = c5's oracle: the write/read cycle must be lossless
+    "c6_training_write" -> (
+      ((s: SparkSession, d: String) => {
+        val mix = TextStats.mixtureEpochs(
+          Catalog(s, d).documents,
+          Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100,
+          "graft-r9")
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_io", "c6_shards").toString
+        graft.sources.Writers.rangeSortedParquet(mix, out, "order_key", 8)
+        s.read.parquet(out)
+      }),
+      Some(TextStats.mixtureEpochsOracle(
+        Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100,
+        "graft-r9"))),
+
     // deterministic mixture with upsampling (epoch repeats > 1x) + the
     // seeded md5 order key for reproducible training-data shuffle order
     "c5_mixture_epochs" -> (
@@ -447,6 +468,24 @@ object ExtensionQueries {
              |  ON a.user_id = b.user_id
              | AND a.event_type = 'view' AND b.event_type = 'purchase'
              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
+    // the production streaming sink: append-mode windowed agg committed
+    // to parquet files through a checkpoint (exactly-once file sink),
+    // read back from the committed files. Oracle = the batch hourly agg
+    // restricted to watermark-closed windows (2h delay, ms-floor wm)
+    "e7_stream_file_sink" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.runHourlyToParquet(
+          s, stagedEventsDir(d),
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+            "graft_io", "e7_sink").toString)),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
+             |     <= (SELECT epoch_us(max(ts)) // 1000 - 7200000 FROM events)""".stripMargin)),
 
     // arbitrary stateful streaming #2 (flatMapGroupsWithState, Append +
     // EventTimeTimeout): gap sessions emitted exactly once when the

@@ -291,6 +291,44 @@ object EventStream {
     session.table(queryName)
   }
 
+  /** Drive [[hourlyAgg]] through the PRODUCTION sink — parquet files
+    * plus a checkpoint directory — and read the committed files back.
+    * Every prior streaming gate (e1–e6) ends in the memory sink; this
+    * one exercises the exactly-once file-sink path a deployment actually
+    * runs: append-mode windowed aggregation, per-batch file commits
+    * recorded in the sink's `_spark_metadata` log (readers see only
+    * committed files — a crashed batch leaves no partial output), and
+    * the checkpoint carrying source offsets + state across restarts.
+    *
+    * Append mode emits a window exactly once, when the watermark passes
+    * its end. With watermark delay `d` (2 h) the final watermark is
+    * `floor(max_ts_us / 1000) − d_ms` (the engine tracks event-time
+    * stats in ms — see [[statefulSessions]]), and a window [s, e) is
+    * emitted iff `e_ms <= watermark_ms` — trailing windows stay in
+    * state, the same open-tail contract as e5. Both the cutoff and the
+    * aggregate are replayed by the oracle.
+    *
+    * Scratch dirs are recreated per run: a reused checkpoint would
+    * resume the finished query and emit nothing — each invocation
+    * measures one complete run, like every streaming gate here.
+    */
+  def runHourlyToParquet(spark: SparkSession, dir: String, scratch: String): DataFrame = {
+    val out = s"$scratch/out"; val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val q: StreamingQuery = hourlyAgg(readStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+  }
+
   /** Run the hourly aggregate over a static directory to completion via
     * the in-memory sink; returns the result table. Used by tests to prove
     * batch/stream equivalence.

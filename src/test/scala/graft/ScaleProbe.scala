@@ -81,6 +81,7 @@ object ScaleProbe {
       time(s"c1_curate_$tag") { CorpusPipeline.curate(raw).count() }
       time(s"c2_filter_first_$tag") { CorpusPipeline.curateFiltered(raw).count() }
       time(s"d10_spans_$tag") { SpanDedup.spanPairs(docs).count() }
+      time(s"d11_removal_$tag") { SpanDedup.removeSpans(docs).count() }
       // LSH band-bucket telemetry: candidate volume and cap pressure
       val hist = MinHashDedup.candidateBucketHistogram(docs, 5, 50)
         .agg(sum(col("candidate_pairs")).as("cand"),
@@ -91,6 +92,22 @@ object ScaleProbe {
       results += s"${tag}_lsh_buckets_over_cap" -> hist.getLong(1)
       results += s"${tag}_lsh_max_bucket" -> hist.getLong(2)
       docs.unpersist()
+    }
+
+    // PQ ANN scan scaling: the 10x corpus is a plain replication with
+    // remapped vec_ids (vectors unchanged — this measures the compressed
+    // scan + shortlist cost, not recall; replica 0 keeps the original
+    // ids so the fixed codebooks are identical at both scales)
+    val emb1x = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val replicas = spark.range(0, 10).select(col("id").as("replica"))
+    val emb10x = emb1x.crossJoin(broadcast(replicas))
+      .select((col("vec_id") + col("replica") * 10000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val emb10xPath = s"$tmp/emb10x.parquet"
+    emb10x.write.mode("overwrite").parquet(emb10xPath)
+    for ((tag, e) <- Seq("1x" -> emb1x, "10x" -> spark.read.parquet(emb10xPath))) {
+      val cb = AnnPq.fixedCodebooks(e)
+      time(s"s6_pq_$tag") { AnnPq.topK(e, e.filter(col("vec_id") < 10), 5, cb).count() }
     }
 
     val json = results.map {

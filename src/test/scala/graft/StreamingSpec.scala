@@ -25,6 +25,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("file sink: commit log exists; emitted windows = watermark-closed subset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesink")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_filesink_out").toString
+    val got = EventStream.runHourlyToParquet(spark, dir.toString, scratch)
+    // exactly-once contract: the sink's commit log governs what readers
+    // see — a crashed batch's orphan files are invisible to the read
+    assert(new java.io.File(s"$scratch/out/_spark_metadata").exists(),
+      "file sink wrote no _spark_metadata commit log")
+    // append emits exactly the windows whose end the final watermark
+    // (max ts, ms floor, minus the 2h delay) passed; the tail stays open
+    val events = Catalog(spark, sf).events
+    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head.getLong(0) - 7200000L
+    val batch = Events.hourly(events)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"unix_micros(hour + interval 1 hour) DIV 1000 <= $wmMs"))
+      .selectExpr("hour", "event_type", "n_events", "total_value")
+    val gotSel = got.selectExpr("hour", "event_type", "n_events", "total_value")
+    assert(gotSel.count() > 0 && gotSel.count() < Events.hourly(events).count(),
+      "cutoff should hold back the trailing open windows")
+    assert(gotSel.exceptAll(batch).isEmpty && batch.exceptAll(gotSel).isEmpty)
+  }
+
   test("stateful session stream == batch sessions the final watermark closed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sessstream")
     java.nio.file.Files.copy(

@@ -74,6 +74,32 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("training shards: filename order is the seeded global shuffle order") {
+    val mix = graft.ext.TextStats.mixtureEpochs(
+      Catalog(spark, sf).documents,
+      Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100, "graft-r9")
+    val dir = tmp()
+    Writers.rangeSortedParquet(mix, s"$dir/shards", "order_key", 8)
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).map(_.getPath)
+    assert(files.length >= 2, s"expected multiple shards, got ${files.length}")
+    // ascending filenames must hold ascending, disjoint order_key slices:
+    // a trainer consuming part files in name order replays the exact
+    // seeded global shuffle order with no cross-file interleaving
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).selectExpr("min(order_key)", "max(order_key)").head
+      (r.getString(0), r.getString(1))
+    }
+    ranges.sliding(2).foreach { case Array((_, prevMax), (nextMin, _)) =>
+      assert(prevMax <= nextMin, s"shard ranges overlap or misorder: $prevMax > $nextMin")
+    }
+    // and the cycle is lossless (multiset equality via exceptAll both ways)
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == mix.count())
+    assert(back.exceptAll(mix).isEmpty && mix.exceptAll(back).isEmpty)
+  }
+
   test("z-order layout: per-file bounding boxes are compact in BOTH dimensions") {
     import spark.implicits._
     val dir = tmp()
