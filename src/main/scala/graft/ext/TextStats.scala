@@ -499,6 +499,83 @@ object TextStats {
        |SELECT token, count(*) AS freq FROM toks WHERE length(token) > 0
        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT $topK""".stripMargin
 
+  /** Count-min cell hash for sketch row `j`: md5 of `"j:token"`, 48-bit
+    * hex prefix, mod `width` — the engine's md5-prefix scheme
+    * ([[docIdBucketCol]]) seeded per row, so the d hash functions are
+    * independent-enough AND engine-replayable (a count-min built on
+    * murmur/xxhash could never be hash-gated against another engine).
+    */
+  private def cmHashCol(token: Column, j: Int, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"$j:"), token).cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of the corpus token frequencies as DATA: `depth ×
+    * width` cells `(r, c, cnt)`. The sketch is THE sublinear-memory
+    * frequency structure at 100 TB — cells bound memory at `depth ×
+    * width` counters regardless of vocabulary size, merge by cell-wise
+    * addition across shards/days (what the two-level aggregate here does
+    * across partitions), and answer point queries with one-sided error
+    * (`estimate ≥ true`, over-count ≤ εN with ε = e/width at the usual
+    * depths).
+    *
+    * Shape: occurrences reduce per-token FIRST (the same map-side-combine
+    * aggregate as [[vocab]] — one row per distinct token per task, not
+    * per occurrence), then the distinct-token frame (vocabulary-sized)
+    * explodes ×depth into cell contributions. The ×depth blow-up touches
+    * only the reduced frame — never the raw token stream.
+    */
+  def countMinSketch(documents: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("r"), cmHashCol(col("token"), j, width).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Point-query the sketch for the deterministic top-`probeK` tokens:
+    * `cm_estimate = min over rows of cell(r, hash_r(token))`, next to the
+    * exact count — the gate checks the whole build+probe path and the
+    * spec pins the one-sided error (`cm_estimate ≥ freq`, equal when the
+    * token's cells are collision-free).
+    */
+  def countMinEstimates(documents: DataFrame, depth: Int = 4, width: Int = 1024,
+                        probeK: Int = 20): DataFrame = {
+    val sketch = countMinSketch(documents, depth, width)
+    vocab(documents, probeK)
+      .select(col("token"), col("freq"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("r"), cmHashCol(col("token"), j, width).as("c"))): _*)).as("rc"))
+      .join(sketch, col("rc.r") === col("r") && col("rc.c") === col("c"))
+      .groupBy(col("token"), col("freq"))
+      .agg(min(col("cnt")).as("cm_estimate"))
+  }
+
+  /** DuckDB replay of [[countMinEstimates]]: identical per-row md5 cell
+    * hashes, identical two-level build, identical min-over-rows probe.
+    */
+  def countMinOracle(depth: Int = 4, width: Int = 1024, probeK: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+       |tf AS (
+       |  SELECT token, count(*) AS freq FROM toks
+       |  WHERE length(token) > 0 GROUP BY token),
+       |cells AS (
+       |  SELECT j, CAST('0x' || substr(md5(j || ':' || token), 1, 12) AS BIGINT) % $width AS c,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM tf, range(0, $depth) t(j)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT $probeK),
+       |probes AS (
+       |  SELECT token, freq, j,
+       |    CAST('0x' || substr(md5(j || ':' || token), 1, 12) AS BIGINT) % $width AS c
+       |  FROM top, range(0, $depth) t(j))
+       |SELECT p.token, p.freq, CAST(MIN(s.cnt) AS BIGINT) AS cm_estimate
+       |FROM probes p JOIN cells s ON p.j = s.j AND p.c = s.c
+       |GROUP BY 1, 2""".stripMargin
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins (the pre-tokenization step that concatenates documents into
     * ~context-length sequences). Documents shard by the engine's md5

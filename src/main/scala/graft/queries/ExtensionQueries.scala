@@ -339,6 +339,13 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.modelQuality(Catalog(s, d).documents)),
       Some(TextStats.modelQualityOracle)),
 
+    // count-min sketch (sublinear-memory frequency structure) built and
+    // point-queried end to end — md5-seeded cell hashes make the whole
+    // sketch engine-replayable; the spec pins estimate >= exact
+    "t12_countmin" -> (
+      ((s: SparkSession, d: String) => TextStats.countMinEstimates(Catalog(s, d).documents)),
+      Some(TextStats.countMinOracle())),
+
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (
       ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),

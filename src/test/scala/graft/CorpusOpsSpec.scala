@@ -117,6 +117,21 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       r.getAs[Long]("bin") * 10 + r.getAs[Long]("bin_offset") >= 0))
   }
 
+  test("count-min: one-sided error (estimate >= exact), exact when collision-free") {
+    val docs = Catalog(spark, sf).documents
+    val est = TextStats.countMinEstimates(docs, probeK = 100).collect()
+    // the sf0.001 corpus has a ~31-token vocabulary; probeK caps above it
+    assert(est.length >= 20)
+    // the count-min guarantee: every estimate upper-bounds the true count
+    assert(est.forall(r => r.getAs[Long]("cm_estimate") >= r.getAs[Long]("freq")),
+      "count-min under-counted — the sketch is broken")
+    // at width 1024 vs this vocabulary, most probes should be
+    // collision-free in at least one row (estimate == exact)
+    val exactHits = est.count(r => r.getAs[Long]("cm_estimate") == r.getAs[Long]("freq"))
+    assert(exactHits * 10 >= est.length * 8,
+      s"only $exactHits/${est.length} collision-free estimates")
+  }
+
   test("redactPii: masks planted emails/phones, counts them, leaves clean text intact") {
     val docs = Seq(
       (1L, "reach me at a.b_c@mail-host.org today"),
