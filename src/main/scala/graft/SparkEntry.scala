@@ -54,7 +54,7 @@ object SparkEntry {
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
-    "s6_ann_pq",
+    "s6_ann_pq", "s7_ann_ivfpq",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
     "t10_quality_model", "t11_stratified_take", "t12_countmin", "c4b_pack_bpe",

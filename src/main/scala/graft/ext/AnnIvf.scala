@@ -84,9 +84,11 @@ object AnnIvf {
 
   /** (qid, qv, qn, cell): each query replicated to its `nProbe` nearest
     * cells — one projection + generate, again exchange-free; the query
-    * norm is computed once, before the explode.
+    * norm is computed once, before the explode. `private[ext]`: the
+    * IVF×PQ composition ([[AnnPq.ivfPqTopK]]) probes cells with the
+    * same expression.
     */
-  private def probeCells(queries: DataFrame, cents: Array[Vector], nProbe: Int): DataFrame =
+  private[ext] def probeCells(queries: DataFrame, cents: Array[Vector], nProbe: Int): DataFrame =
     queries.select(
       col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"),

@@ -155,6 +155,62 @@ object AnnPq {
       .select(col("qid"), col("rank"), col("cid"), col("adc"), col("cosine"))
   }
 
+  /** IVF × PQ — the composition the two operators exist for at 100 TB:
+    * [[AnnIvf]]'s coarse cells bound WHICH candidates a query scans
+    * (`nProbe / nCells` of the corpus), this operator's codes bound what
+    * each candidate COSTS (8 integer adds off an 8-byte column). The
+    * encoded corpus carries `(cell, codes)`; a query probes its nProbe
+    * nearest cells, ADC-shortlists within them, and exact-rescores the
+    * `k × refine` survivors by id — under [[AnnIvf.fixedCentroids]] +
+    * [[fixedCodebooks]] the whole path is hash-gated by
+    * [[ivfPqTopKOracle]]; swapping in fitted centroids/codebooks changes
+    * the statistics, not one line of the plan (the s3-vs-s5
+    * relationship).
+    */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                cents: Array[org.apache.spark.ml.linalg.Vector],
+                cb: Array[Array[Array[Float]]],
+                nProbe: Int = 4, refine: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    // (cell, cid, codes) through one thin exchange — same barrier
+    // rationale as [[topK]]; at scale this frame IS the stored index
+    val enc = AnnIvf.assign(embeddings, cents)
+      .select(col("cell"), col("vec_id").as("cid"))
+      .join(encode(embeddings, cb).select(col("vec_id").as("cid"), col("codes")), "cid")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val qd = AnnIvf.probeCells(queries, cents, nProbe).select(
+      col("qid"), col("cell"),
+      array(cb.indices.map(m =>
+        array(cb(m).indices.map(j => {
+          val c2 = cb(m)(j).map(x => quantL(x) * quantL(x)).sum
+          lit(c2) - lit(2L) * VectorOps.dotQ(sub(col("qv"), m, cb(m)(j).length), typedLit(cb(m)(j)))
+        }): _*)): _*).as("dtab"))
+    val adcSum = cb.indices.map(m => col("dtab")(m)(col("codes")(m))).reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").asc, col("cid").asc)
+    val shortlist = enc.join(broadcast(qd), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc", adcSum)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * refine)
+      .select(col("qid"), col("cid"), col("adc"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    val cand = embeddings.select(
+      col("vec_id").as("cid"), col("embedding").as("cv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("cn"))
+      .join(broadcast(shortlist), "cid")
+    val qv = queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"))
+    cand.join(broadcast(qv), "qid")
+      .withColumn("cosine",
+        VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("adc"), col("cosine"))
+  }
+
   /** DuckDB replay of [[fixedCodebooks]] + [[encode]] + [[topK]] over the
     * `embeddings` table with queries `vec_id < maxQid`: identical grid
     * quantization, identical `|c|² − 2·v·c` argmin with ties to the lower
@@ -185,6 +241,93 @@ object AnnPq {
        |  SELECT q.qid, c.vec_id AS cid, CAST(SUM(q.score) AS BIGINT) AS adc
        |  FROM codes c JOIN qscore q ON q.m = c.m AND q.j = c.code
        |  WHERE c.vec_id <> q.qid
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT qid, cid, adc FROM (
+       |    SELECT qid, cid, adc,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS adc_rank
+       |    FROM adcs) WHERE adc_rank <= ${k * refine}),
+       |dots AS (
+       |  SELECT t.qid, t.cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+       |  FROM shortlist t
+       |  JOIN el a ON a.vec_id = t.qid
+       |  JOIN el b ON b.vec_id = t.cid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rescored AS (
+       |  SELECT t.qid, t.cid, t.adc,
+       |    d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM shortlist t
+       |  JOIN dots d ON t.qid = d.qid AND t.cid = d.cid
+       |  JOIN norms na ON t.qid = na.vec_id
+       |  JOIN norms nb ON t.cid = nb.vec_id),
+       |final AS (
+       |  SELECT qid, cid, adc, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM rescored)
+       |SELECT qid, CAST(rank AS INT) AS rank, cid, adc, cosine
+       |FROM final WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[ivfPqTopK]] under fixed centroids + fixed
+    * codebooks: the IVF chain (cell assignment + nProbe probing, from
+    * [[AnnIvf.fixedTopKOracle]]) feeding the PQ chain (codes + per-query
+    * subspace scores), ADC only over cell-colocated candidates,
+    * shortlist, exact rescore, final rank.
+    */
+  def ivfPqTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4,
+                      nSub: Int = 8, nCodes: Int = 16, refine: Int = 10): String = {
+    val dsub = 64 / nSub
+    s"""WITH ${VectorOps.oracleElems},
+       |cells AS (
+       |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
+       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+       |cc2 AS (
+       |  SELECT c.cell, CAST(SUM(ce.x * ce.x) AS BIGINT) AS csq
+       |  FROM cells c JOIN el ce ON ce.vec_id = c.cvec GROUP BY 1),
+       |cdots AS (
+       |  SELECT e.vec_id, c.cell, CAST(SUM(e.x * ce.x) AS BIGINT) AS dot
+       |  FROM el e
+       |  JOIN cells c ON TRUE
+       |  JOIN el ce ON ce.vec_id = c.cvec AND ce.i = e.i
+       |  GROUP BY 1, 2),
+       |cellscore AS (
+       |  SELECT s.vec_id, s.cell, (cc2.csq - 2 * s.dot) AS score
+       |  FROM cdots s JOIN cc2 ON s.cell = cc2.cell),
+       |assigned AS (
+       |  SELECT vec_id AS cid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+       |    FROM cellscore) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+       |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe),
+       |cb AS (
+       |  SELECT CAST(vec_id AS INT) AS j, CAST((i - 1) // $dsub AS INT) AS m, i, x
+       |  FROM el WHERE vec_id < $nCodes),
+       |csq AS (SELECT m, j, CAST(SUM(x * x) AS BIGINT) AS c2 FROM cb GROUP BY 1, 2),
+       |edots AS (
+       |  SELECT e.vec_id, c.m, c.j, CAST(SUM(e.x * c.x) AS BIGINT) AS dot
+       |  FROM el e JOIN cb c ON c.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |escore AS (
+       |  SELECT d.vec_id, d.m, d.j, (s.c2 - 2 * d.dot) AS score
+       |  FROM edots d JOIN csq s ON d.m = s.m AND d.j = s.j),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score ASC, j ASC) AS rn
+       |    FROM escore) WHERE rn = 1),
+       |qscore AS (SELECT vec_id AS qid, m, j, score FROM escore WHERE vec_id < $maxQid),
+       |cand AS (
+       |  SELECT p.qid, a.cid FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.cid <> p.qid),
+       |adcs AS (
+       |  SELECT c.qid, c.cid, CAST(SUM(q.score) AS BIGINT) AS adc
+       |  FROM cand c
+       |  JOIN codes k ON k.vec_id = c.cid
+       |  JOIN qscore q ON q.qid = c.qid AND q.m = k.m AND q.j = k.code
        |  GROUP BY 1, 2),
        |shortlist AS (
        |  SELECT qid, cid, adc FROM (

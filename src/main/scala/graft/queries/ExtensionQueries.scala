@@ -268,6 +268,18 @@ object ExtensionQueries {
       }),
       Some(AnnPq.topKOracle(5, 10))),
 
+    // IVF x PQ composition — cells bound WHICH candidates are scanned,
+    // codes bound what each COSTS; fully hash-gated under the fixed
+    // centroid + codebook conventions (fitted variants change the
+    // statistics, not the plan)
+    "s7_ann_ivfpq" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnPq.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5,
+          AnnIvf.fixedCentroids(e, 16), AnnPq.fixedCodebooks(e))
+      }),
+      Some(AnnPq.ivfPqTopKOracle(5, 10))),
+
     // token counting (whitespace + BPE-ish)
     "t1_token_counts" -> (
       ((s: SparkSession, d: String) => TextStats.tokenCounts(Catalog(s, d).documents)),

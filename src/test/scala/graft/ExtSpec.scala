@@ -81,6 +81,23 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"PQ encode joins:\n$p")
   }
 
+  test("IVF x PQ composition: recall@5 vs brute force >= 0.6") {
+    val e = Catalog(spark, sf).embeddings.cache()
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val got = pairs(AnnPq.ivfPqTopK(e, q, 5,
+      AnnIvf.fixedCentroids(e, 16), AnnPq.fixedCodebooks(e)))
+    val want = pairs(graft.queries.ExtensionQueries.bruteTopK(e, q, 5))
+    assert(want.nonEmpty)
+    // deterministic (fixed centroids + codebooks, fixed data): 0.90 at
+    // sf0.001, 0.84 at sf0.01 — cells bound the scan, the k x 10 ADC
+    // shortlist covers probed cells densely, so the composition recalls
+    // BETTER than the corpus-wide PQ scan at the same shortlist size
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.6, s"IVF-PQ recall@5 = $recall")
+  }
+
   test("minhash signature similarity estimates Jaccard for near-identical docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
