@@ -51,6 +51,7 @@ object SparkEntry {
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
+    "d12_incremental_dedup",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
@@ -63,7 +64,7 @@ object SparkEntry {
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
-    "q42_inferred_csv", "q43_local_source", "q46_zorder_layout",
+    "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q24_window_frames", "q25_sql_api",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

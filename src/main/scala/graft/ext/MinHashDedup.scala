@@ -222,6 +222,80 @@ object MinHashDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** INCREMENTAL near-dup detection: an arriving batch checked against
+    * an existing corpus, emitting only CROSS pairs `(doc_a existing,
+    * doc_b arriving, jaccard)`. The production daily-ingest shape — the
+    * existing×existing work was paid when those docs arrived, and
+    * arriving×arriving dups are the next full-compaction's job — so the
+    * incremental cost is `O(|arriving|)` band lookups against the
+    * standing band index, not a corpus-wide re-pairing. At 100 TB the
+    * existing banded frame IS the persisted index (a table bucketed by
+    * band key); here both sides band on the fly.
+    *
+    * The stop-bucket cap applies to the EXISTING side (boilerplate
+    * accumulates in the index; an arriving doc landing in a hot index
+    * bucket gets no usable signal from it, same rule as
+    * [[candidatePairs]]).
+    */
+  def crossPairs(existing: DataFrame, arriving: DataFrame, n: Int = 5,
+                 threshold: Double = 0.5, bucketCap: Int = 50): DataFrame = {
+    val indexBuckets = bandedSignatures(existing, n)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= bucketCap)
+    val cand = bandedSignatures(arriving, n)
+      .join(indexBuckets, Seq("band", "band_key"))
+      .select(explode(col("ids")).as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val ga = existing.select(
+      col("doc_id").as("doc_a"), graft.functions.HashedNgrams.of(col("text"), n).as("grams_a"))
+    val gb = arriving.select(
+      col("doc_id").as("doc_b"), graft.functions.HashedNgrams.of(col("text"), n).as("grams_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.ofSorted(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DuckDB replay of [[crossPairs]] with the corpus split by the shared
+    * md5 bucket scheme: `bucket < existingPct` plays the standing index,
+    * the rest the arriving batch. Same bands, same existing-side cap,
+    * same exact-Jaccard verify.
+    */
+  def crossPairsOracle(n: Int, threshold: Double, existingPct: Int,
+                       bucketCap: Int = 50): String = {
+    val bandSelects = (0 until bandsCount).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val bucket = TextStats.docIdBucketSql(100)
+    s"""WITH ${oracleSigs(n, "documents")},
+       |split AS (SELECT doc_id, $bucket < $existingPct AS is_existing FROM documents),
+       |banded0 AS ($bandSelects),
+       |eb AS (
+       |  SELECT b.doc_id, b.band, b.band_key,
+       |    count(*) OVER (PARTITION BY b.band, b.band_key) AS bn
+       |  FROM banded0 b JOIN split s USING (doc_id) WHERE s.is_existing),
+       |ab AS (
+       |  SELECT b.doc_id, b.band, b.band_key
+       |  FROM banded0 b JOIN split s USING (doc_id) WHERE NOT s.is_existing),
+       |cand AS (
+       |  SELECT DISTINCT e.doc_id AS doc_a, a.doc_id AS doc_b
+       |  FROM eb e JOIN ab a ON e.band = a.band AND e.band_key = a.band_key
+       |  WHERE e.bn <= $bucketCap),
+       |g AS (SELECT doc_id, ${NgramJaccard.hashedNgramsSql(n)} AS grams FROM documents),
+       |v AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(ga.grams, gb.grams)) AS n_inter,
+       |    len(ga.grams) AS na, len(gb.grams) AS nb
+       |  FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)
+       |SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM v WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= $threshold""".stripMargin
+  }
+
   /** Oracle CTE builders take the source relation name so filtered
     * variants ([[CorpusPipeline.curateFiltered]]) can replay the same
     * pipeline over a surviving-docs CTE instead of the base table.

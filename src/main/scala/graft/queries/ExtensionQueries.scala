@@ -207,6 +207,18 @@ object ExtensionQueries {
       }),
       Some(Decontaminate.flagsOracle(8, "doc_id % 50 = 0"))),
 
+    // incremental dedup: an arriving batch (md5 bucket >= 80) checked
+    // against the standing corpus (bucket < 80) — cross pairs only, the
+    // daily-ingest shape that never re-pairs the existing index
+    "d12_incremental_dedup" -> (
+      ((s: SparkSession, d: String) => {
+        val docs = CorpusPipeline.spreadText(Catalog(s, d).documents)
+        val bucket = TextStats.docIdBucketCol(100)
+        MinHashDedup.crossPairs(
+          docs.filter(bucket < 80), docs.filter(bucket >= 80), 5, 0.5)
+      }),
+      Some(MinHashDedup.crossPairsOracle(5, 0.5, 80))),
+
     // cross-document substring (span) dedup: grid-window rolling hashes,
     // single hash-bucket shuffle (digests on the wire, never span text),
     // stop-bucket cap, exact-substring verify on the capped pair set

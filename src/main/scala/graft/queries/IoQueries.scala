@@ -199,6 +199,44 @@ object IoQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Row-level MERGE into a partitioned table ([[graft.sources.Writers
+    * .mergePartitioned]]): week 52 gets half its rows UPDATED (even
+    * orderkeys, net_price doubled) and new rows INSERTED (odd orderkeys
+    * re-keyed +1e9, net_price tripled); week 51 must come back
+    * byte-identical — the partition-bounded contract. The merge is
+    * idempotent (updates derive from the SOURCE lineitem), so bench
+    * repeats converge to the same state and the read-back hash is
+    * stable. Grouped by (week_no, inserted-flag) so the gate separates
+    * updated, untouched, and inserted row populations.
+    */
+  private val mergeBase = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mergeBaseTable(s: SparkSession, d: String): String =
+    mergeBase.getOrElseUpdate(d, {
+      val tmp = scratch("merge_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val derived = graft.transform.Derive.pricing(Catalog(s, d).lineitem)
+        .select("l_orderkey", "l_linenumber", "net_price", "week_no")
+      graft.sources.Writers.partitionedParquet(derived, s"$tmp/by_week", "week_no")
+      s"$tmp/by_week"
+    })
+
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val table = mergeBaseTable(s, d)
+    val w52 = graft.transform.Derive.pricing(Catalog(s, d).lineitem)
+      .select("l_orderkey", "l_linenumber", "net_price", "week_no")
+      .filter(col("week_no") === 52)
+    val updates = w52.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      .withColumn("net_price", col("net_price") * 2)
+      .unionByName(w52.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+        .withColumn("net_price", col("net_price") * 3))
+    graft.sources.Writers.mergePartitioned(updates, table, "week_no",
+      Seq("l_orderkey", "l_linenumber"), scratch("merge_staging"))
+    s.read.parquet(table)
+      .filter(col("week_no").isin(51, 52))
+      .groupBy(col("week_no"), (col("l_orderkey") >= 1000000000L).as("inserted"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("total_net"))
+  }
+
   /** Z-order layout roundtrip: write lineitem clustered on the Morton
     * interleave of (l_partkey, l_suppkey), read back with a predicate on
     * BOTH dimensions + aggregate. The hash gate proves the layout
@@ -222,6 +260,28 @@ object IoQueries {
   }
 
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q47_merge_upsert" -> (
+      (mergeUpsert _),
+      // doubling/tripling a double is one IEEE multiply — deterministic
+      // in both engines — and the decimal-grid sum is the shared q21/q40
+      // aggregation form
+      Some("""WITH base AS (
+             |  SELECT l_orderkey,
+             |    CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+             |    l_extendedprice * (1.0 - l_discount) AS net_price
+             |  FROM lineitem),
+             |merged AS (
+             |  SELECT week_no, FALSE AS inserted,
+             |    CASE WHEN week_no = 52 AND l_orderkey % 2 = 0 THEN net_price * 2
+             |         ELSE net_price END AS net_price
+             |  FROM base WHERE week_no IN (51, 52)
+             |  UNION ALL
+             |  SELECT week_no, TRUE AS inserted, net_price * 3 AS net_price
+             |  FROM base WHERE week_no = 52 AND l_orderkey % 2 = 1)
+             |SELECT week_no, inserted, count(*) AS n_lines,
+             |  CAST(SUM(CAST(net_price AS DECIMAL(18,4))) AS DOUBLE) AS total_net
+             |FROM merged GROUP BY 1, 2""".stripMargin)),
+
     "q46_zorder_layout" -> (
       (zOrderRoundtrip _),
       Some("""SELECT count(*) AS n_lines,

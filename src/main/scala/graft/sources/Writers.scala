@@ -97,6 +97,32 @@ object Writers {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Partition-bounded row-level MERGE (upsert): update-matched +
+    * insert-unmatched by `keyCols`, rewriting ONLY the partitions the
+    * updates touch. The plain-parquet answer to what table formats call
+    * MERGE INTO: reads back just the touched slices (semi-join on the
+    * broadcast touched-partition list → partition pruning), anti-joins
+    * out the rows being replaced, unions the updates, and
+    * dynamic-overwrites those partitions — untouched partitions are
+    * never read or written. The merged slice goes through a staging
+    * directory because Spark (correctly) refuses to overwrite a path it
+    * is lazily reading from; a real 100 TB deployment upgrades this to a
+    * transactional table format, which changes atomicity, not the
+    * dataflow.
+    */
+  def mergePartitioned(updates: DataFrame, path: String, partCol: String,
+                       keyCols: Seq[String], staging: String): Unit = {
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val touched = updates.select(col(partCol)).distinct()
+    val slice = spark.read.parquet(path)
+      .join(broadcast(touched), Seq(partCol), "left_semi")
+    val kept = slice.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    kept.unionByName(updates.select(kept.columns.map(col).toIndexedSeq: _*))
+      .write.mode("overwrite").parquet(staging)
+    overwritePartitions(spark.read.parquet(staging), path, partCol)
+  }
+
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)                                    // [S7]
 

@@ -81,6 +81,23 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"PQ encode joins:\n$p")
   }
 
+  test("incremental dedup: cross pairs only — existing and arriving dups stay silent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val existing = Seq(
+      (1L, base),
+      (2L, base + "!"),                                     // existing x existing dup: NOT emitted
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (10L, base + "?"),                                    // dups existing 1 and 2: emitted
+      (11L, "fresh unique arrival text with no partner anywhere"),
+      (12L, "fresh unique arrival text with no partner anywhere!")  // arriving x arriving: NOT emitted
+    ).toDF("doc_id", "text")
+    val got = MinHashDedup.crossPairs(existing, arriving, 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L)), got.toString)
+  }
+
   test("IVF x PQ composition: recall@5 vs brute force >= 0.6") {
     val e = Catalog(spark, sf).embeddings.cache()
     val q = e.filter(col("vec_id") < 10)

@@ -74,6 +74,25 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mergePartitioned: updates matched, inserts unmatched, other partitions untouched") {
+    import spark.implicits._
+    val dir = tmp()
+    val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 20))
+      .toDF("id", "v", "pk")
+    Writers.partitionedParquet(base, s"$dir/t", "pk")
+    // merge into pk=20 only: update id=3, insert id=30
+    val updates = Seq((3L, "C", 20), (30L, "x", 20)).toDF("id", "v", "pk")
+    Writers.mergePartitioned(updates, s"$dir/t", "pk", Seq("id"), s"$dir/staging")
+    val got = spark.read.parquet(s"$dir/t")
+      .select("id", "v", "pk").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "b", 10), (3L, "C", 20), (4L, "d", 20), (30L, "x", 20)),
+      got.toString)
+    // idempotent: re-merging the same updates changes nothing
+    Writers.mergePartitioned(updates, s"$dir/t", "pk", Seq("id"), s"$dir/staging")
+    assert(spark.read.parquet(s"$dir/t")
+      .select("id", "v", "pk").as[(Long, String, Int)].collect().toSet == got)
+  }
+
   test("training shards: filename order is the seeded global shuffle order") {
     val mix = graft.ext.TextStats.mixtureEpochs(
       Catalog(spark, sf).documents,
