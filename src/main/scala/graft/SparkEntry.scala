@@ -66,7 +66,7 @@ object SparkEntry {
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
-    "q24_window_frames", "q25_sql_api",
+    "q24_window_frames", "q25_sql_api", "q48_asof_join",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Catalog
 import graft.functions.Exact._
-import graft.transform.{Cleaning, Dedup, Derive}
+import graft.transform.{AsOfJoin, Cleaning, Dedup, Derive}
 import graft.{analytics => an}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -244,6 +244,35 @@ object RelationalQueries {
              |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
              |WHERE length(token) > 0
              |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // AS-OF join (purchase -> latest at-or-before click, per user): the
+    // point-in-time attribution join the built-in operators lack,
+    // formulated join-free (union + kind marker + one key shuffle +
+    // running last(ignoreNulls) — see [[AsOfJoin.leftAsOf]] for why the
+    // theta-join formulation is quadratic per key). The oracle is
+    // DuckDB's native ASOF LEFT JOIN over a right side pre-reduced to
+    // one row per (user, ts) with the max event_id — exactly the tie
+    // the operator's (ts, kind, tie) sort order picks.
+    "q48_asof_join" -> (
+      ((s: SparkSession, d: String) => {
+        val ev = Catalog(s, d).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "p_ts", "c_ts", "c_id")
+          .withColumn("gap_us", unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+      }),
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS p_id, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, ts AS c_ts, max(event_id) AS c_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.user_id, p.p_id, p.p_ts, c.c_ts, c.c_id,
+             |  epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""".stripMargin)),
 
     // J3 two-key equi left join + UNKNOWN-sentinel flag semantics — the
     // churn job's coupon-day pattern (distinct (household, day) event

@@ -47,6 +47,16 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Window"), s"assign stage uses a window:\n$p")
   }
 
+  test("q48: as-of join plans join-free — one key exchange, no range probe") {
+    val p = plan("q48_asof_join")
+    assert(!p.contains("Join"), s"as-of formulation planned a join operator:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "as-of fell back to a product plan")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle:\n$p")
+    assert(p.contains("Window"), "carry-forward window missing")
+  }
+
   test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
     val weekly = plan("q32_etl_weekly")
     assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")

@@ -90,6 +90,20 @@ class TransformSpec extends AnyFunSuite with SharedSpark {
     assert(Cleaning.dropAllNullColumns(df).columns.toSeq == Seq("keep"))
   }
 
+  test("AsOfJoin.leftAsOf: same-instant match, max-tie pick, null when no prior row") {
+    import graft.transform.AsOfJoin
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "lts", "lid")
+    // two right rows tie at (k=1, ts=100): the greater rid must win;
+    // k=2 has no right row at-or-before ts=10
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 40L, 3L), (2L, 11L, 5L))
+      .toDF("k", "rts", "rid")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "lts", "rts", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got == Set((1L, 100L, 9L), (1L, 50L, 3L), (2L, 10L, -1L)))
+  }
+
   test("Dedup.dedupByKeys keeps the first row under explicit ordering") {
     val df = Seq((1, "b", 2), (1, "a", 1), (2, "c", 9)).toDF("k", "v", "ord")
     val out = Dedup.dedupByKeys(df, Seq("k"), Seq("ord")).collect()
