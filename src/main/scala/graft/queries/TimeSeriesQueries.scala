@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events stream: calendar resampling
+  * with forward fill, and slowly-changing-dimension (SCD2) interval
+  * construction from a change log. Neither exists as a built-in Spark
+  * operator; both compose from a date spine / window functions into
+  * plans whose only shuffles are on the series key.
+  */
+object TimeSeriesQueries {
+
+  /** q49: regularize each user's purchase series onto a daily calendar
+    * spine and forward-fill gaps — the standard time-series
+    * gap-filling operator (resample + ffill).
+    *
+    * Shape: (1) aggregate purchases to one row per (user, day) with an
+    * exact-decimal daily total; (2) per user, explode
+    * `sequence(min_day, max_day)` into the dense daily spine — the
+    * spine is generated WHERE the user's rows already live, so it adds
+    * no shuffle of its own; (3) left-join observations back onto the
+    * spine and carry the last observed value forward with a running
+    * `last(ignoreNulls)` frame, plus the staleness age in days. All
+    * three shuffles (daily agg, bounds agg, spine join + window) hash
+    * on the user key; per-key cost is linear in the date span. At
+    * 100 TB the spine never materializes corpus-wide: each task emits
+    * only its own users' days.
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(Exact.dsum(col("value")).as("day_value"))
+
+    val spine = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("value_ffill"),
+        datediff(col("day"),
+          last(when(col("day_value").isNotNull, col("day")), ignoreNulls = true)
+            .over(w)).as("gap_days"))
+  }
+
+  val resampleFfillOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                                     CAST(d1 AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.day_value
+      |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, day_value,
+      |  last_value(day_value IGNORE NULLS) OVER w AS value_ffill,
+      |  CAST(datediff('day',
+      |    last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER w,
+      |    day) AS INT) AS gap_days
+      |FROM j
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q50: build SCD2 (slowly-changing-dimension type 2) validity
+    * intervals from an event change log — the warehouse pattern for
+    * point-in-time dimension state, and the batch complement of the
+    * [[graft.transform.AsOfJoin]] lookup.
+    *
+    * The user's spend tier is re-derived at every purchase; the
+    * operator keeps only rows where the tier CHANGED (gaps-and-islands
+    * via `lag`), then closes each change's interval with the next
+    * change's start (`lead`), yielding half-open `[valid_from,
+    * valid_to)` intervals with a version counter and an `is_current`
+    * flag (open interval). Both windows share one user-key sort — a
+    * single exchange, two linear passes.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+
+    val log = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("value") < 20, "low")
+          .when(col("value") < 60, "mid")
+          .otherwise("high").as("tier"))
+
+    val changes = log
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+
+    changes
+      .select(col("user_id"), col("tier"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(wOrd).as("valid_to"),
+        row_number().over(wOrd).as("version"))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
+  val scd2IntervalsOracle: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value < 20 THEN 'low'
+      |         WHEN value < 60 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM events WHERE event_type = 'purchase'),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts, event_id, tier,
+      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+      |    FROM log)
+      |  WHERE prev_tier IS NULL OR prev_tier <> tier)
+      |SELECT user_id, tier, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    // daily calendar spine + forward fill (time-series gap filling)
+    "q49_resample_ffill" -> (
+      ((s: SparkSession, d: String) => resampleFfill(Catalog(s, d).events)),
+      Some(resampleFfillOracle)),
+
+    // SCD2 validity intervals from the purchase change log
+    "q50_scd2_intervals" -> (
+      ((s: SparkSession, d: String) => scd2Intervals(Catalog(s, d).events)),
+      Some(scd2IntervalsOracle))
+  )
+}

@@ -57,6 +57,23 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("Window"), "carry-forward window missing")
   }
 
+  test("q49: spine join never plans a product; purchase filter is pushed") {
+    val p = plan("q49_resample_ffill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"spine join planned as a product:\n$p")
+    assert(p.contains("PushedFilters: ["), "event_type filter not pushed to scan")
+    assert(!p.contains("props"), "scan reads unused column props")
+  }
+
+  test("q50: both SCD2 windows share one user-key sort (no second exchange+sort)") {
+    val p = plan("q50_scd2_intervals")
+    // lag-filter, lead, and row_number all ride the same (user_id, ts,
+    // event_id) partitioning+order: exactly one exchange, one sort
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 2, s"windows re-sorting:\n$p")
+  }
+
   test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
     val weekly = plan("q32_etl_weekly")
     assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")

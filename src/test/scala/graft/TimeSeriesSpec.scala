@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.TimeSeriesQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the time-series operators on hand-built fixtures (the
+  * sf-scale oracle gates cover the real tables; these pin the edge
+  * behavior a gate row can't show directly).
+  */
+class TimeSeriesSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("resampleFfill: gap days carry the last observation and its age") {
+    // one user, purchases on day 1 and day 4 -> 4-row spine, 2 filled
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 10.0, "{}"),
+      (2L, "2024-01-04 09:00:00", 1L, "purchase", 30.0, "{}"),
+      (3L, "2024-01-02 09:00:00", 1L, "click", 99.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = TimeSeriesQueries.resampleFfill(ev)
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getDate(1).toString, Option(r.get(2)), r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", Some(10.0), 10.0, 0),
+      ("2024-01-02", None, 10.0, 1),
+      ("2024-01-03", None, 10.0, 2),
+      ("2024-01-04", Some(30.0), 30.0, 0)))
+  }
+
+  test("scd2Intervals: consecutive same-tier rows collapse; intervals chain half-open") {
+    // tiers low(5) low(6) mid(30) low(7): collapses to low/mid/low
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 9L, "purchase", 5.0, "{}"),
+      (2L, "2024-01-02 00:00:00", 9L, "purchase", 6.0, "{}"),
+      (3L, "2024-01-03 00:00:00", 9L, "purchase", 30.0, "{}"),
+      (4L, "2024-01-04 00:00:00", 9L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = TimeSeriesQueries.scd2Intervals(ev)
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(2).toString.take(10),
+        Option(r.getTimestamp(3)).map(_.toString.take(10)), r.getInt(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      ("low", "2024-01-01", Some("2024-01-03"), 1, 0),
+      ("mid", "2024-01-03", Some("2024-01-04"), 2, 0),
+      ("low", "2024-01-04", None, 3, 1)))
+    // every interval's valid_to = next interval's valid_from (half-open chain)
+  }
+}
