@@ -58,7 +58,8 @@ object SparkEntry {
     "s6_ann_pq", "s7_ann_ivfpq",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
-    "t10_quality_model", "t11_stratified_take", "t12_countmin", "c4b_pack_bpe",
+    "t10_quality_model", "t11_stratified_take", "t12_countmin", "t13_tfidf",
+    "t14_bloom", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",

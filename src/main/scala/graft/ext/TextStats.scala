@@ -499,6 +499,58 @@ object TextStats {
        |SELECT token, count(*) AS freq FROM toks WHERE length(token) > 0
        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT $topK""".stripMargin
 
+  /** TF-IDF top-`k` terms per document — the classic relevance ranking,
+    * kept bit-exact across engines by avoiding `log` entirely: with a
+    * fixed corpus the ranking induced by `tf * log(N/df)` is the same as
+    * by the rational score `tf * N / df` (log is monotone), and the
+    * rational score is ONE IEEE double division of exact integers —
+    * engine-identical, unlike libm's `log`.
+    *
+    * Shape at scale: the TF aggregate is partial+final on (doc, token)
+    * — one row per distinct pair per task after map-side combine; DF
+    * rides a token-partitioned window over the already-reduced TF frame
+    * (vocabulary-sized, not occurrence-sized); the corpus size N joins
+    * in as a broadcast scalar (never a driver pull); and the per-doc
+    * top-k plans as `WindowGroupLimit` (map-side per-group heaps,
+    * pinned in PlanSpec) — a skewed doc ships k candidate rows per
+    * task, not its whole vocabulary.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  def tfidfOracle(k: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0 GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id, token, tf,
+       |    count(*) OVER (PARTITION BY token) AS df,
+       |    CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE)
+       |      / count(*) OVER (PARTITION BY token) AS score
+       |  FROM tf)
+       |SELECT doc_id, token, tf, df, score, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+
   /** Count-min cell hash for sketch row `j`: md5 of `"j:token"`, 48-bit
     * hex prefix, mod `width` — the engine's md5-prefix scheme
     * ([[docIdBucketCol]]) seeded per row, so the d hash functions are

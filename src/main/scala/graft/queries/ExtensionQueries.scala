@@ -370,6 +370,21 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.countMinEstimates(Catalog(s, d).documents)),
       Some(TextStats.countMinOracle())),
 
+    // TF-IDF top terms per doc: the log-free rational score preserves
+    // the tf*log(N/df) ranking (log is monotone in N/df) while staying
+    // bit-exact across engines; per-doc top-k plans as WindowGroupLimit
+    "t13_tfidf" -> (
+      ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(Catalog(s, d).documents)),
+      Some(TextStats.tfidfOracle(5))),
+
+    // SQL-replayable Bloom filter: standing corpus (buckets < 80) sets
+    // md5-lane bits, the arriving batch probes membership on 5-token
+    // prefix digests; bloom_hit vs exact_hit exposes the one-sided
+    // error contract in the gated rows (CorpusOpsSpec pins it)
+    "t14_bloom" -> (
+      ((s: SparkSession, d: String) => BloomPrune.docMembership(Catalog(s, d).documents)),
+      Some(BloomPrune.docMembershipOracle())),
+
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (
       ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),

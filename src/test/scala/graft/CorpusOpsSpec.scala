@@ -132,6 +132,29 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       s"only $exactHits/${est.length} collision-free estimates")
   }
 
+  test("bloom: zero false negatives at any fill level; exact_hit labels true membership") {
+    import graft.ext.BloomPrune
+    val base = Seq.tabulate(40)(i => s"key-$i").toDF("key")
+    val probe = (Seq.tabulate(10)(i => (i.toLong, s"key-${i * 4}")) ++   // members
+      Seq.tabulate(30)(i => (100L + i, s"other-$i")))                     // non-members
+      .toDF("id", "key")
+    // m=64 on 40 keys x 3 lanes: heavily filled, false positives near
+    // certain -- the one-sided contract must survive saturation
+    val r = BloomPrune.membership(base, probe, "id", "key", m = 64, numHashes = 3)
+      .collect().map(x => (x.getInt(1), x.getInt(2)))
+    assert(r.length == 40)
+    assert(r.forall { case (bloom, exact) => exact == 0 || bloom == 1 },
+      "false negative: a true member missed the filter")
+    assert(r.count(_._2 == 1) == 10, "exact membership mislabeled")
+  }
+
+  test("bloom: t14 shape on real docs — every exact duplicate prefix is flagged") {
+    import graft.ext.BloomPrune
+    val r = BloomPrune.docMembership(Catalog(spark, sf).documents)
+      .collect().map(x => (x.getInt(1), x.getInt(2)))
+    assert(r.forall { case (bloom, exact) => exact == 0 || bloom == 1 })
+  }
+
   test("redactPii: masks planted emails/phones, counts them, leaves clean text intact") {
     val docs = Seq(
       (1L, "reach me at a.b_c@mail-host.org today"),

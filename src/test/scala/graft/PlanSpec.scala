@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("Sort ".r.findAllIn(p).size <= 2, s"windows re-sorting:\n$p")
   }
 
+  test("t13: per-doc top-k prunes map-side via WindowGroupLimit; N joins broadcast") {
+    val p = plan("t13_tfidf")
+    assert(p.contains("WindowGroupLimit"), s"rk<=k not planned as WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "corpus-size scalar not broadcast")
+    assert(!p.contains("CartesianProduct"), "scalar join planned as a cartesian")
+  }
+
+  test("t14: bloom position set broadcasts; probe never sort-merges on bit positions") {
+    val p = plan("t14_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"bloom join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "bloom probe planned as a product")
+  }
+
   test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
     val weekly = plan("q32_etl_weekly")
     assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")
