@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.registry ++ graft.queries.ExtensionQueries.registry ++
       graft.queries.IoQueries.registry ++ graft.queries.MlQueries.registry ++
       graft.queries.OlapQueries.registry ++ graft.queries.EtlQueries.registry ++
-      graft.queries.ScaleQueries.registry ++ graft.queries.TimeSeriesQueries.registry
+      graft.queries.ScaleQueries.registry ++ graft.queries.TimeSeriesQueries.registry ++
+      graft.queries.GraphQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -68,7 +69,7 @@ object SparkEntry {
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
-    "q49_resample_ffill", "q50_scd2_intervals",
+    "q49_resample_ffill", "q50_scd2_intervals", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.core.Catalog
+import graft.ext.PageRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over relationally-derived graphs. The
+  * near-dup components operator ([[graft.ext.DedupClusters]], d8) is
+  * the other member of this family; g1 adds the weighted-centrality
+  * shape.
+  */
+object GraphQueries {
+
+  /** Co-purchase edges: parts sharing an order, one directed edge per
+    * ordered pair occurrence (parallel edges = repeat co-purchases
+    * weight the walk). Self-join on the order key — bounded fan-out
+    * per key (TPC-H orders hold ≤ 7 lines), so the join output is
+    * linear in lineitems, never quadratic in the table.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Catalog(s, d).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
+  private val coPurchaseEdgesSql: String =
+    """edges AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+
+  def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    // integer-grid PageRank over the co-purchase graph, 5 iterations
+    "g1_pagerank" -> (
+      ((s: SparkSession, d: String) => PageRank.ranks(coPurchaseEdges(s, d))),
+      Some(s"WITH $coPurchaseEdgesSql,\n${PageRank.ranksSqlTail()}"))
+  )
+}

@@ -250,4 +250,28 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
       Multimodal.withPayload(docs.repartition(7))).collect().toSet
     assert(once == repart && once.nonEmpty)
   }
+
+  test("PageRank: integer fixed-point matches a hand-rolled reference loop exactly") {
+    // 1 -> {2,3}, 2 -> 1, 3 -> 2 (+ a parallel 3 -> 2 edge: multiplicity
+    // must weight the walk, not collapse)
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 2L), (3L, 2L))
+    val got = PageRank.ranks(edgeSeq.toDF("src", "dst"), iterations = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val scale = 1000000000000L
+    val nodes = Seq(1L, 2L, 3L)
+    val outdeg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> scale / 3).toMap
+    for (_ <- 1 to 5) {
+      val in = edgeSeq
+        .map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map(v =>
+        v -> ((scale * 15) / (100 * 3) + 85 * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    assert(got == rank, s"engine $got vs reference $rank")
+    // mass stays on the integer grid: positive everywhere, never above
+    // the total (floors only ever lose quanta)
+    assert(rank.values.forall(_ > 0) && rank.values.sum <= scale)
+  }
 }

@@ -89,6 +89,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "bloom probe planned as a product")
   }
 
+  test("g1: iterative ranks — no cartesian anywhere; scalar N rides a broadcast") {
+    val p = plan("g1_pagerank")
+    assert(!p.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "node-count scalar not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-K ranks not planned as TakeOrdered")
+  }
+
   test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
     val weekly = plan("q32_etl_weekly")
     assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")
