@@ -385,6 +385,24 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => BloomPrune.docMembership(Catalog(s, d).documents)),
       Some(BloomPrune.docMembershipOracle())),
 
+    // engine-replayable HyperLogLog distinct-count sketch over the
+    // (user, day) activity keys: exact integer register math, one IEEE
+    // division for the estimate; exact distinct joins in for the
+    // accuracy audit (ExtSpec pins the error band + register merge)
+    "t15_hll" -> (
+      ((s: SparkSession, d: String) => {
+        val keys = Catalog(s, d).events.select(
+          concat(col("user_id").cast("string"), lit(":"),
+            col("ts").cast("date").cast("string")).as("key"))
+        HyperLogLog.estimate(keys, "key")
+          .crossJoin(broadcast(keys.agg(countDistinct(col("key")).as("exact_distinct"))))
+      }),
+      Some("""WITH keys AS (
+             |  SELECT CAST(user_id AS VARCHAR) || ':' ||
+             |         CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+             |  FROM events),
+             |""".stripMargin + HyperLogLog.estimateSqlTail)),
+
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (
       ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),

@@ -105,6 +105,50 @@ object OlapQueries {
              |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // UNPIVOT (wide measures -> long (measure, val) rows): q45's
+    // inverse, one projection-only pass — Spark plans Expand, no
+    // shuffle, no per-measure rescan
+    "q51_unpivot" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "val")),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |         l_discount, l_tax
+             |  FROM lineitem WHERE l_orderkey % 10 = 0)
+             |UNPIVOT (val FOR measure IN
+             |  (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin)),
+
+    // explicit GROUPING SETS (the general form rollup/cube lower to):
+    // disjoint dimension breakdowns in ONE pass over the fact table —
+    // at 100 TB the alternative is one scan per breakdown
+    "q52_grouping_sets" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        c.lineitem.createOrReplaceTempView("v_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, l_shipdate,
+            |  count(*) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+            |  CAST(grouping(l_shipdate) AS INT) AS g_sd
+            |FROM v_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipdate))""".stripMargin)
+      }),
+      Some("""SELECT l_returnflag, l_linestatus, l_shipdate,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_shipdate) AS INT) AS g_sd
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipdate))""".stripMargin)),
+
     // analytic window frames: running sum + lag/lead
     "q24_window_frames" -> (windowFrames _, Some(windowFramesOracle)),
 

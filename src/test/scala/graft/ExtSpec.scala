@@ -251,6 +251,23 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(once == repart && once.nonEmpty)
   }
 
+  test("HLL: registers merge distributively; estimate lands in the error band") {
+    val keys = (1 to 4000).map(i => s"key-$i").toDF("key")
+    // sharded build + per-bucket max == single build (the merge contract)
+    val whole = HyperLogLog.registers(keys, "key").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    val shardA = HyperLogLog.registers(keys.filter(length(col("key")) % 2 === 0), "key")
+    val shardB = HyperLogLog.registers(keys.filter(length(col("key")) % 2 =!= 0), "key")
+    val merged = shardA.union(shardB)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(merged == whole, "sharded max-merge diverged from the single build")
+    // raw HLL on 4000 keys / 256 registers: ~6.5% std error; 4 sigma band
+    val est = HyperLogLog.estimate(keys, "key").collect()(0)
+      .getAs[Double]("hll_estimate")
+    assert(math.abs(est / 4000.0 - 1.0) < 0.26, s"estimate $est too far from 4000")
+  }
+
   test("PageRank: integer fixed-point matches a hand-rolled reference loop exactly") {
     // 1 -> {2,3}, 2 -> 1, 3 -> 2 (+ a parallel 3 -> 2 edge: multiplicity
     // must weight the walk, not collapse)
