@@ -68,7 +68,8 @@ object SparkEntry {
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
-    "q51_unpivot", "q52_grouping_sets",
+    "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
+    "q55_exact_stats", "q56_funnel",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
     "q49_resample_ffill", "q50_scd2_intervals", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

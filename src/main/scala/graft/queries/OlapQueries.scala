@@ -63,6 +63,44 @@ object OlapQueries {
         |ORDER BY revenue DESC, n_name ASC""".stripMargin)
   }
 
+  /** q54's rate/z-score expressions, ONE literal string parsed by both
+    * engines (Spark selectExpr and the DuckDB oracle) so the IEEE op
+    * sequence cannot diverge. `CAST(1 AS DOUBLE)` everywhere a bare
+    * `1.0` would be: DuckDB types `1.0` as DECIMAL(2,1) and
+    * decimal-by-integer division follows different scale rules than
+    * Spark's double literal.
+    */
+  private val abRateExprs: Seq[String] = {
+    val pa = "(conv_a / CAST(n_a AS DOUBLE))"
+    val pb = "(conv_b / CAST(n_b AS DOUBLE))"
+    val pp = "((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))"
+    Seq(
+      s"$pa AS p_a",
+      s"$pb AS p_b",
+      s"($pa - $pb) / sqrt($pp * (CAST(1 AS DOUBLE) - $pp) * " +
+        s"(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z_score")
+  }
+
+  /** q55's closed forms over the exact grid sums — same shared-literal
+    * discipline as [[abRateExprs]]. Grids: x on 1/10000 (quantity),
+    * y on 1/100 (price), xy and y^2 on 1/100, x^2 on 1/10000.
+    */
+  private val momentExprs: Seq[String] = {
+    val sumx  = "(CAST(sx AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val sumy  = "(CAST(sy AS DOUBLE) / CAST(100 AS DOUBLE))"
+    val sumxx = "(CAST(sxx AS DOUBLE) / CAST(10000 AS DOUBLE))"
+    val sumyy = "(CAST(syy AS DOUBLE) / CAST(100 AS DOUBLE))"
+    val sumxy = "(CAST(sxy AS DOUBLE) / CAST(100 AS DOUBLE))"
+    val covN  = s"(n * $sumxy - $sumx * $sumy)"
+    val varXN = s"(n * $sumxx - $sumx * $sumx)"
+    val varYN = s"(n * $sumyy - $sumy * $sumy)"
+    Seq(
+      s"$sumx / n AS mean_x",
+      s"$sumy / n AS mean_y",
+      s"$covN / sqrt($varXN * $varYN) AS corr_xy",
+      s"$covN / $varXN AS ols_slope")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
 
     // ROLLUP with grouping_id
@@ -148,6 +186,79 @@ object OlapQueries {
              |  CAST(GROUPING(l_shipdate) AS INT) AS g_sd
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipdate))""".stripMargin)),
+
+    // A/B conversion z-test: md5 split, exact counts, IEEE-only test
+    // statistic (sqrt is correctly rounded by IEEE 754 — unlike
+    // log/exp it is safe on the wire, so the z-score hash-gates)
+    "q54_ab_test" -> (
+      ((s: SparkSession, d: String) => {
+        val users = Catalog(s, d).events
+          .groupBy(col("user_id"))
+          // conversion = any HIGH-VALUE purchase: with value > 150 the
+          // rate is ~45%, so both variance terms are non-degenerate (a
+          // p=1 cohort would make z exactly 0/0 — ANSI throws, and the
+          // test would be meaningless anyway)
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1)
+            .otherwise(0)).as("converted"))
+          .withColumn("variant",
+            when(pmod(conv(substring(md5(col("user_id").cast("string").cast("binary")),
+              1, 12), 16, 10).cast("long"), lit(2L)) === 0, "A").otherwise("B"))
+        val g = users.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val a = g.filter(col("variant") === "A")
+          .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        val b = g.filter(col("variant") === "B")
+          .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        a.crossJoin(broadcast(b)).selectExpr(
+          Seq("n_a", "conv_a", "n_b", "conv_b") ++ abRateExprs: _*)
+      }),
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+              |             THEN 1 ELSE 0 END) AS converted,
+              |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+              |              AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+              |  FROM events GROUP BY 1),
+              |g AS (SELECT variant, count(*) AS n,
+              |             CAST(sum(converted) AS BIGINT) AS conv FROM u GROUP BY 1),
+              |ab AS (SELECT
+              |  (SELECT n FROM g WHERE variant = 'A') AS n_a,
+              |  (SELECT conv FROM g WHERE variant = 'A') AS conv_a,
+              |  (SELECT n FROM g WHERE variant = 'B') AS n_b,
+              |  (SELECT conv FROM g WHERE variant = 'B') AS conv_b)
+              |SELECT n_a, conv_a, n_b, conv_b,
+              |  ${abRateExprs.mkString(",\n  ")}
+              |FROM ab""".stripMargin)),
+
+    // correlation + OLS slope from EXACT sufficient statistics: Spark's
+    // corr() streams order-dependent double co-moments (unmatchable);
+    // here the six sufficient sums are exact longs on the value grid
+    // (one partial+final pass, map-side combinable — the 100 TB shape),
+    // and the closed forms are identical IEEE expression text in both
+    // engines
+    "q55_exact_stats" -> (
+      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 10000.0).cast("long")).as("sx"),
+          sum(floor(col("l_extendedprice") * 100.0).cast("long")).as("sy"),
+          sum(floor(col("l_quantity") * col("l_quantity") * 10000.0).cast("long")).as("sxx"),
+          sum(floor(col("l_extendedprice") * col("l_extendedprice") * 100.0).cast("long")).as("syy"),
+          sum(floor(col("l_quantity") * col("l_extendedprice") * 100.0).cast("long")).as("sxy"))
+        .selectExpr(Seq("l_returnflag", "n") ++ momentExprs: _*)
+        .orderBy(col("l_returnflag"))),
+      Some(s"""WITH sums AS (
+              |  SELECT l_returnflag, count(*) AS n,
+              |    CAST(sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS sx,
+              |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sy,
+              |    CAST(sum(CAST(floor(l_quantity * l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS sxx,
+              |    CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS syy,
+              |    CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sxy
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, n,
+              |  ${momentExprs.mkString(",\n  ")}
+              |FROM sums ORDER BY l_returnflag""".stripMargin)),
 
     // analytic window frames: running sum + lag/lead
     "q24_window_frames" -> (windowFrames _, Some(windowFramesOracle)),

@@ -130,6 +130,86 @@ object TimeSeriesQueries {
       |FROM changes
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** q53: trailing 7-day spend per user via a RANGE window frame over
+    * the SPARSE daily series — the range frame does the gap handling
+    * (missing days simply contribute nothing), so unlike q49 no spine
+    * is materialized; this is the shape for sliding-window features at
+    * 100 TB where densifying first would multiply the row count by the
+    * calendar. The frame sums exact decimals (decimal addition is
+    * associative, so Spark's sliding-frame evaluation order and
+    * DuckDB's agree bit-for-bit), cast once to double on the way out.
+    */
+  def trailingWindow(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(Exact.dec(col("value"))).as("day_dec"))
+      .withColumn("day_idx", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w7 = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day"),
+      col("day_dec").cast("double").as("day_value"),
+      sum(col("day_dec")).over(w7).cast("double").as("trailing_7d"),
+      count(lit(1)).over(w7).cast("int").as("n_obs_7d"))
+  }
+
+  val trailingWindowOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(18,4))) AS day_dec,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4)
+      |SELECT user_id, day,
+      |  CAST(day_dec AS DOUBLE) AS day_value,
+      |  CAST(sum(day_dec) OVER w7 AS DOUBLE) AS trailing_7d,
+      |  CAST(count(*) OVER w7 AS INT) AS n_obs_7d
+      |FROM daily
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY day_idx
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q56: conversion funnel (view -> click -> purchase, order
+    * enforced): each user's first view, first click AT OR AFTER that
+    * view, first purchase at or after that click. Cascading minima
+    * need the previous stage's timestamp, so each stage is one
+    * conditional aggregate joined back on the user key — three
+    * user-key shuffles, no self-join fan-out, reached_* flags carried
+    * as ints for the funnel report.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.join(v, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.join(c, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_click").isNotNull, 1).otherwise(0).as("reached_click"),
+        when(col("t_purchase").isNotNull, 1).otherwise(0).as("reached_purchase"))
+  }
+
+  val funnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END AS INT) AS reached_click,
+      |  CAST(CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS reached_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     // daily calendar spine + forward fill (time-series gap filling)
     "q49_resample_ffill" -> (
@@ -139,6 +219,16 @@ object TimeSeriesQueries {
     // SCD2 validity intervals from the purchase change log
     "q50_scd2_intervals" -> (
       ((s: SparkSession, d: String) => scd2Intervals(Catalog(s, d).events)),
-      Some(scd2IntervalsOracle))
+      Some(scd2IntervalsOracle)),
+
+    // trailing 7-day range-frame features over the sparse daily series
+    "q53_trailing_window" -> (
+      ((s: SparkSession, d: String) => trailingWindow(Catalog(s, d).events)),
+      Some(trailingWindowOracle)),
+
+    // ordered conversion funnel with cascading stage minima
+    "q56_funnel" -> (
+      ((s: SparkSession, d: String) => funnel(Catalog(s, d).events)),
+      Some(funnelOracle))
   )
 }

@@ -97,6 +97,26 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("TakeOrderedAndProject"), "top-K ranks not planned as TakeOrdered")
   }
 
+  test("q53: range-frame features are join-free — two key exchanges, no spine") {
+    val p = plan("q53_trailing_window")
+    assert(!p.contains("Join"), s"trailing window planned a join:\n$p")
+    // (user, day) aggregation shuffle + user window shuffle — nothing more
+    assert("hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly two key shuffles:\n$p")
+  }
+
+  test("q55: sufficient statistics aggregate partial then final; one exchange") {
+    val p = plan("q55_exact_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "missing map-side combine")
+    assert(!p.contains("Join"), "stats pass should not join")
+  }
+
+  test("q56: funnel stages join on the user key only — no product plans") {
+    val p = plan("q56_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"funnel planned a product join:\n$p")
+  }
+
   test("ETL: base filters reach the lineitem scan; dimension joins broadcast") {
     val weekly = plan("q32_etl_weekly")
     assert(weekly.contains("PushedFilters: ["), "no pushed filters on ETL base scan")
