@@ -56,7 +56,7 @@ object SparkEntry {
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
-    "s6_ann_pq", "s7_ann_ivfpq",
+    "s6_ann_pq", "s7_ann_ivfpq", "s8_ann_filtered",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
     "t10_quality_model", "t11_stratified_take", "t12_countmin", "t13_tfidf",
@@ -69,7 +69,7 @@ object SparkEntry {
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
-    "q55_exact_stats", "q56_funnel",
+    "q55_exact_stats", "q56_funnel", "q57_scd2_merge",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
     "q49_resample_ffill", "q50_scd2_intervals", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

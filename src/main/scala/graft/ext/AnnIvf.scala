@@ -140,7 +140,8 @@ object AnnIvf {
     * lower cell), the same nProbe probe, the same exact rescore and
     * deterministic rank.
     */
-  def fixedTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4): String =
+  def fixedTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4,
+                      candWhere: String = "TRUE"): String =
     s"""WITH ${VectorOps.oracleElems},
        |cells AS (
        |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
@@ -169,7 +170,7 @@ object AnnIvf {
        |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe),
        |cand AS (
        |  SELECT p.qid, a.cid FROM probes p JOIN assigned a ON p.cell = a.cell
-       |  WHERE a.cid <> p.qid),
+       |  WHERE a.cid <> p.qid AND ($candWhere)),
        |dots AS (
        |  SELECT q.qid, q.cid, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
        |  FROM cand q

@@ -270,6 +270,22 @@ object ExtensionQueries {
       }),
       Some(AnnIvf.fixedTopKOracle(5, 10))),
 
+    // FILTERED ANN (the production hybrid query: metadata predicate +
+    // vector similarity): pre-filter semantics — the label predicate
+    // restricts the CANDIDATE set before scoring, so top-k is over the
+    // matching subset, not a post-filtered (and possibly short) top-k
+    // of the full search. Centroids stay the full-corpus fixed
+    // convention (partition layout is filter-independent); the filter
+    // prunes the assigned side before the probe join
+    "s8_ann_filtered" -> (
+      ((s: SparkSession, d: String) => {
+        val e = Catalog(s, d).embeddings
+        AnnIvf.topKWith(e.filter(col("label") <= 2), e.filter(col("vec_id") < 10), 5,
+          AnnIvf.fixedCentroids(e, 16))
+      }),
+      Some(AnnIvf.fixedTopKOracle(5, 10,
+        candWhere = "a.cid IN (SELECT vec_id FROM embeddings WHERE label <= 2)"))),
+
     // product-quantization ANN (third scale path): 32x-compressed codes,
     // integer ADC scan, exact rescore of the k survivors — hash-gated
     // end to end under the fixed (SQL-replayable) codebooks

@@ -210,6 +210,70 @@ object TimeSeriesQueries {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** q57: INCREMENTAL SCD2 maintenance — apply an arriving batch of
+    * changes to a standing dimension without recomputing closed
+    * history. This is the daily-merge warehouse operation q50 is the
+    * batch form of; at 100 TB the standing dimension's closed
+    * intervals are the overwhelming bulk and must pass through
+    * untouched (here: only rows for users PRESENT IN THE BATCH are
+    * rewritten, everything else is a pass-through union branch).
+    *
+    * Mechanics: the affected users' open intervals become seed rows
+    * (their tier + version anchor the tail), unioned with the batch's
+    * change log; the q50 gaps-and-islands pass then recomputes only
+    * that tail, with versions continued from the seed's counter. A
+    * batch row repeating the open tier is absorbed (no new interval) —
+    * exactly the collapse the batch form performs.
+    *
+    * The CORRECTNESS CLAIM is the gate itself: the oracle is q50's
+    * FULL-RECOMPUTE SQL over all events, so the hash match proves
+    * incremental == batch, row for row — the same claim d12 makes for
+    * incremental dedup.
+    */
+  def scd2Merge(events: DataFrame, cutoff: String = "2024-01-21 00:00:00"): DataFrame = {
+    val cutTs = lit(cutoff).cast("timestamp")
+    val base = scd2Intervals(events.filter(col("ts") < cutTs))
+    val delta = events
+      .filter(col("ts") >= cutTs && col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("value") < 20, "low")
+          .when(col("value") < 60, "mid")
+          .otherwise("high").as("tier"))
+
+    val affected = delta.select(col("user_id")).distinct()
+    val untouched = base.join(affected, Seq("user_id"), "left_anti")
+    val closedAffected = base.filter(col("is_current") === 0)
+      .join(affected, Seq("user_id"), "left_semi")
+
+    // seed rows: the open interval as a pseudo-change (Long.MinValue
+    // event_id keeps it first under any tie; base/delta never tie on ts
+    // anyway — the cutoff separates them)
+    val seed = base.filter(col("is_current") === 1)
+      .join(affected, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("valid_from").as("ts"),
+        lit(Long.MinValue).as("event_id"), col("tier"),
+        col("version").as("base_version"))
+
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = seed
+      .unionByName(delta.withColumn("base_version", lit(null).cast("int")))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+    // version offset: the seed's counter (its row re-emerges as the
+    // first tail row), or 1 for batch-new users with no seed
+    val tail = changes
+      .withColumn("voff",
+        max(coalesce(col("base_version"), lit(1)))
+          .over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("tier"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(wOrd).as("valid_to"),
+        (col("voff") + row_number().over(wOrd) - 1).cast("int").as("version"))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+
+    untouched.unionByName(closedAffected).unionByName(tail)
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     // daily calendar spine + forward fill (time-series gap filling)
     "q49_resample_ffill" -> (
@@ -229,6 +293,12 @@ object TimeSeriesQueries {
     // ordered conversion funnel with cascading stage minima
     "q56_funnel" -> (
       ((s: SparkSession, d: String) => funnel(Catalog(s, d).events)),
-      Some(funnelOracle))
+      Some(funnelOracle)),
+
+    // incremental SCD2 merge; the oracle is q50's FULL RECOMPUTE, so
+    // the hash match proves incremental == batch
+    "q57_scd2_merge" -> (
+      ((s: SparkSession, d: String) => scd2Merge(Catalog(s, d).events)),
+      Some(scd2IntervalsOracle))
   )
 }

@@ -60,6 +60,15 @@ class TimeSeriesSpec extends AnyFunSuite with SharedSpark {
     assert(got == Map(1L -> ((0, 0)), 2L -> ((1, 1))))
   }
 
+  test("scd2Merge: incremental == full recompute at several cutover points") {
+    val ev = graft.core.Catalog(spark, sf).events
+    val batch = TimeSeriesQueries.scd2Intervals(ev).collect().toSet
+    for (cut <- Seq("2024-01-08 00:00:00", "2024-01-21 00:00:00", "2024-01-28 12:00:00")) {
+      val inc = TimeSeriesQueries.scd2Merge(ev, cut).collect().toSet
+      assert(inc == batch, s"cutover $cut diverged from the batch recompute")
+    }
+  }
+
   test("scd2Intervals: consecutive same-tier rows collapse; intervals chain half-open") {
     // tiers low(5) low(6) mid(30) low(7): collapses to low/mid/low
     val ev = Seq(
