@@ -89,12 +89,12 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "bloom probe planned as a product")
   }
 
-  test("g1: iterative ranks — no cartesian anywhere; scalar N rides a broadcast") {
+  test("g1: supersteps materialize — final plan reads the cached ranks, top-K TakeOrdered") {
     val p = plan("g1_pagerank")
-    assert(!p.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "node-count scalar not broadcast")
     assert(p.contains("TakeOrderedAndProject"), "top-K ranks not planned as TakeOrdered")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"final superstep not materialized — ranking replans the whole history:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$p")
   }
 
   test("q53: range-frame features are join-free — two key exchanges, no spine") {
