@@ -54,16 +54,17 @@ object SparkEntry {
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
     "d12_incremental_dedup",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
-    "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write",
+    "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write", "c7_curriculum",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
     "s6_ann_pq", "s7_ann_ivfpq", "s8_ann_filtered",
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
     "t10_quality_model", "t11_stratified_take", "t12_countmin", "t13_tfidf",
-    "t14_bloom", "t15_hll", "c4b_pack_bpe",
+    "t14_bloom", "t15_hll", "t16_chi2_drift", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
+    "e8_stream_dedup",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",

@@ -192,6 +192,37 @@ object TextStats {
        |FROM q)
        |SELECT doc_id, logit, logit >= 0 AS keep FROM s""".stripMargin
 
+  /** c7: curriculum data ordering — the t10 quality model's logit cut
+    * into three calibration bands (tertile thresholds over this corpus
+    * family, fixed constants like the model weights themselves), with
+    * a seeded md5 shuffle WITHIN each band. Sorting by `order_key`
+    * ascending replays the curriculum: highest-quality tier first,
+    * reproducible order inside each tier — the c5/c6 order-key
+    * contract (engine-independent, sortable, range-shardable by the
+    * same writers) composed with model-based quality. Per-row
+    * projection only; zero exchanges.
+    */
+  def curriculumOrder(documents: DataFrame, seed: String): DataFrame =
+    modelQuality(documents)
+      .select(col("doc_id"),
+        when(col("logit") >= -0.74, 0)
+          .when(col("logit") >= -0.97, 1)
+          .otherwise(2).cast("int").as("band"))
+      .withColumn("order_key", concat(col("band").cast("string"), lit(":"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))))
+
+  def curriculumOrderOracle(seed: String): String =
+    s"""WITH mq AS (
+       |$modelQualityOracle
+       |)
+       |SELECT doc_id, band,
+       |  band || ':' || md5('$seed:' || doc_id) AS order_key
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN logit >= -0.74 THEN 0
+       |              WHEN logit >= -0.97 THEN 1 ELSE 2 END AS INT) AS band
+       |  FROM mq)""".stripMargin
+
   /** The [[langId]] `predicted_lang` expression as a bare Column (same
     * rationale as [[qualityScoreCol]]: per-row, join-free filtering).
     */
@@ -550,6 +581,60 @@ object TextStats {
        |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rk
        |  FROM scored)
        |WHERE rk <= $k""".stripMargin
+
+  /** q54-style shared-literal expressions for the chi-square drift
+    * statistic: expected cells and per-category contributions, parsed
+    * identically by Spark and DuckDB (all IEEE ops on exact integer
+    * inputs — chi-square needs no libm, unlike PSI/KL which need log
+    * and could never hash-gate).
+    */
+  private val chi2Exprs: Seq[String] = {
+    val ea = "((CAST(n_a + n_b AS DOUBLE) * t_a) / (t_a + t_b))"
+    val eb = "((CAST(n_a + n_b AS DOUBLE) * t_b) / (t_a + t_b))"
+    Seq(
+      s"$ea AS exp_a",
+      s"$eb AS exp_b",
+      s"(n_a - $ea) * (n_a - $ea) / $ea + (n_b - $eb) * (n_b - $eb) / $eb AS chi2_contrib")
+  }
+
+  /** t16: categorical drift monitor between two md5 halves of the
+    * corpus — the two-sample chi-square over the `lang` distribution,
+    * the pipeline health check that catches a skewed ingest batch. Per
+    * category: observed counts in both halves, expected under
+    * homogeneity, and the chi-square contribution; the decision
+    * statistic is the contribution sum (driver-side or a downstream
+    * agg — left per-category here so the gate pins every cell).
+    * One partial+final count pass over the corpus; the contingency
+    * frame is category-sized, and the half totals join in as one
+    * broadcast row.
+    */
+  def chi2Drift(documents: DataFrame): DataFrame = {
+    val g = documents
+      .select(col("lang"), docIdBucketCol(100).as("bucket"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("bucket") < 50, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("bucket") >= 50, 1L).otherwise(0L)).as("n_b"))
+    val totals = g.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    g.crossJoin(broadcast(totals))
+      .selectExpr(Seq("lang", "n_a", "n_b") ++ chi2Exprs: _*)
+      .orderBy(col("lang"))
+  }
+
+  def chi2DriftOracle: String =
+    s"""WITH g AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN bucket >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM (SELECT lang, ${docIdBucketSql(100)} AS bucket FROM documents)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT g.*, tt.t_a, tt.t_b FROM g CROSS JOIN (
+       |    SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+       |           CAST(sum(n_b) AS BIGINT) AS t_b FROM g) tt)
+       |SELECT lang, n_a, n_b,
+       |  ${chi2Exprs.mkString(",\n  ")}
+       |FROM t ORDER BY lang""".stripMargin
 
   /** Count-min cell hash for sketch row `j`: md5 of `"j:token"`, 48-bit
     * hex prefix, mod `width` — the engine's md5-prefix scheme

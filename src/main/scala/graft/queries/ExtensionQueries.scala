@@ -116,6 +116,37 @@ object ExtensionQueries {
       dir.toString
     })
 
+  /** A two-file docs directory with PLANTED full-row duplicates for the
+    * streaming-dedup gate: file 0 is the corpus, file 1 re-ships the
+    * bucket>=80 slice byte-identically. Because every duplicate ROW is
+    * identical, "first arrival survives" yields the same output
+    * whichever file the stream lists first — the gate is deterministic
+    * without pinning file order. Memoized per sf path like
+    * [[stagedEventsDir]].
+    */
+  private val stagedDupDocs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDupDocsDir(s: SparkSession, d: String): String =
+    stagedDupDocs.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_io", "e8_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/documents.parquet"),
+        dir.resolve("batch0.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val slice = dir.toString + "_slice"
+      Catalog(s, d).documents
+        .filter(TextStats.docIdBucketCol(100) >= 80)
+        .coalesce(1).write.mode("overwrite").parquet(slice)
+      val part = new java.io.File(slice).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve("batch1.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
   private def embeddingDups(s: SparkSession, d: String): DataFrame =
     VectorOps.blockedAllPairs(Catalog(s, d).embeddings, 0.4)
 
@@ -419,6 +450,22 @@ object ExtensionQueries {
              |  FROM events),
              |""".stripMargin + HyperLogLog.estimateSqlTail)),
 
+    // curriculum ordering: t10's quality logit banded into tertile
+    // tiers + seeded md5 shuffle within tier — sort by order_key
+    // replays the curriculum (c5/c6's order-key contract composed
+    // with model-based quality); per-row only, zero-Exchange pinned
+    "c7_curriculum" -> (
+      ((s: SparkSession, d: String) =>
+        TextStats.curriculumOrder(Catalog(s, d).documents, "graft-r9")),
+      Some(TextStats.curriculumOrderOracle("graft-r9"))),
+
+    // categorical drift monitor: two-sample chi-square over the lang
+    // distribution between md5 halves — all-IEEE on exact counts (no
+    // libm, unlike PSI/KL), every cell pinned by the gate
+    "t16_chi2_drift" -> (
+      ((s: SparkSession, d: String) => TextStats.chi2Drift(Catalog(s, d).documents)),
+      Some(TextStats.chi2DriftOracle)),
+
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (
       ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),
@@ -596,6 +643,21 @@ object ExtensionQueries {
               |SELECT user_id, session_start, session_end, n_events, session_value
               |FROM sess
               |WHERE epoch_us(session_end) // 1000 + ${30 * 60000L}
-              |    < (SELECT epoch_us(max(ts)) // 1000 FROM events)""".stripMargin))
+              |    < (SELECT epoch_us(max(ts)) // 1000 FROM events)""".stripMargin)),
+
+    // streaming exact dedup run to completion over a 2-file stream with
+    // PLANTED duplicate rows (the bucket>=80 slice re-shipped): exactly
+    // one row per distinct digest must survive — batch DISTINCT on the
+    // digest. The gate is digest-level because WHICH copy survives is
+    // arrival-order-dependent (sf0.1 even carries 8 natural same-text
+    // doc_id pairs); production dedup keys on the digest, and the
+    // digest SET is order-independent. The bounded-state variant
+    // (dropDuplicatesWithinWatermark) is pinned separately in
+    // StreamingSpec with explicit micro-batches
+    "e8_stream_dedup" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.DocStream.runDedupToCompletion(s, stagedDupDocsDir(s, d))
+          .select(col("digest"))),
+      Some("SELECT DISTINCT md5(text) AS digest FROM documents"))
   )
 }

@@ -195,7 +195,8 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     // — any Exchange means a regression re-introduced a shuffle
     // c5's epoch explode is a narrow Generate — upsampling must never
     // shuffle either
-    for (q <- Seq("t6_repetition", "c3_mixture_sample", "c5_mixture_epochs")) {
+    for (q <- Seq("t6_repetition", "c3_mixture_sample", "c5_mixture_epochs",
+                  "c7_curriculum")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }
