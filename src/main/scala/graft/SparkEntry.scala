@@ -60,7 +60,7 @@ object SparkEntry {
     "t1_token_counts", "t2_quality", "t3_langid", "t4_fingerprint", "t5_hash_split",
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
     "t10_quality_model", "t11_stratified_take", "t12_countmin", "t13_tfidf",
-    "t14_bloom", "t15_hll", "t16_chi2_drift", "c4b_pack_bpe",
+    "t14_bloom", "t15_hll", "t16_chi2_drift", "t17_ks_drift", "c4b_pack_bpe",
     "mm1_multimodal", "mm2_frame_sample",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
@@ -70,7 +70,7 @@ object SparkEntry {
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
-    "q55_exact_stats", "q56_funnel", "q57_scd2_merge",
+    "q55_exact_stats", "q56_funnel", "q57_scd2_merge", "q59_global_index",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
     "q49_resample_ffill", "q50_scd2_intervals", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

@@ -636,6 +636,77 @@ object TextStats {
        |  ${chi2Exprs.mkString(",\n  ")}
        |FROM t ORDER BY lang""".stripMargin
 
+  /** Shared-literal expressions for the KS statistic cells: the ECDF
+    * gap at each value, kept EXACT as the integer cross product
+    * `|c_a*t_b - c_b*t_a|` (= gap * t_a*t_b), with the one IEEE
+    * division only in the reported `ecdf_gap`.
+    */
+  private val ksExprs: Seq[String] = {
+    val d = "abs(c_a * t_b - c_b * t_a)"
+    Seq(
+      s"CAST($d AS BIGINT) AS d_num",
+      s"CAST($d AS DOUBLE) / (CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS ecdf_gap")
+  }
+
+  /** t17: numeric drift monitor — the two-sample Kolmogorov–Smirnov
+    * statistic over the `n_chars` distribution between the two md5
+    * halves of the corpus (t16's chi-square is the categorical twin;
+    * KS is the numeric one — shape drift a mean/variance check misses).
+    * Emitted per distinct value with both cumulative counts and the
+    * exact integer ECDF-gap numerator, so the gate pins every step of
+    * both ECDFs; the KS statistic is the max `ecdf_gap` row, visible in
+    * the output rather than reduced away.
+    *
+    * The cumulative counts go through [[graft.transform.Cumulative]]:
+    * a global `sum OVER (ORDER BY v)` would pull the whole
+    * distinct-value frame into ONE task; the two-level prefix sum
+    * keeps every window partition-local at any cardinality (the
+    * 100 TB-safe ECDF). The corpus itself is touched once, by the
+    * partial+final count aggregation.
+    */
+  def ksDrift(documents: DataFrame): DataFrame = {
+    val g = documents
+      .select(col("n_chars").as("v"), docIdBucketCol(100).as("bucket"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("bucket") < 50, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("bucket") >= 50, 1L).otherwise(0L)).as("n_b"))
+    // equi-width value bins from broadcast min/max: deterministic and
+    // monotone in v — the bucket must derive from the DATA, never the
+    // physical layout (see Cumulative's scaladoc)
+    val bounds = g.agg(min(col("v")).as("_v0"), max(col("v")).as("_v1"))
+    val binned = g.crossJoin(broadcast(bounds))
+    val bucket = floor((col("v") - col("_v0")) * lit(32L) /
+      (col("_v1") - col("_v0") + lit(1L))).cast("int")
+    val cum = graft.transform.Cumulative.runningTotals(
+      binned, "v", bucket, Seq("n_a" -> "c_a", "n_b" -> "c_b"))
+    val totals = g.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    cum.drop("_v0", "_v1").crossJoin(broadcast(totals))
+      .selectExpr(Seq("v", "n_a", "n_b", "c_a", "c_b", "t_a", "t_b") ++ ksExprs: _*)
+      .orderBy(col("v"))
+  }
+
+  def ksDriftOracle: String =
+    s"""WITH g AS (
+       |  SELECT n_chars AS v,
+       |    CAST(sum(CASE WHEN bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN bucket >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM (SELECT n_chars, ${docIdBucketSql(100)} AS bucket FROM documents)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT v, n_a, n_b,
+       |    CAST(sum(n_a) OVER w AS BIGINT) AS c_a,
+       |    CAST(sum(n_b) OVER w AS BIGINT) AS c_b
+       |  FROM g
+       |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (
+       |  SELECT c.*, tt.t_a, tt.t_b FROM c CROSS JOIN (
+       |    SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+       |           CAST(sum(n_b) AS BIGINT) AS t_b FROM g) tt)
+       |SELECT v, n_a, n_b, c_a, c_b, t_a, t_b,
+       |  ${ksExprs.mkString(",\n  ")}
+       |FROM t ORDER BY v""".stripMargin
+
   /** Count-min cell hash for sketch row `j`: md5 of `"j:token"`, 48-bit
     * hex prefix, mod `width` — the engine's md5-prefix scheme
     * ([[docIdBucketCol]]) seeded per row, so the d hash functions are

@@ -466,6 +466,13 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => TextStats.chi2Drift(Catalog(s, d).documents)),
       Some(TextStats.chi2DriftOracle)),
 
+    // numeric drift monitor: two-sample KS over n_chars between md5
+    // halves — exact integer ECDF-gap numerators through the scale-safe
+    // two-level prefix sum (no single-task global window)
+    "t17_ks_drift" -> (
+      ((s: SparkSession, d: String) => TextStats.ksDrift(Catalog(s, d).documents)),
+      Some(TextStats.ksDriftOracle)),
+
     // corpus vocabulary: token frequencies, deterministic top-K
     "t8_vocab" -> (
       ((s: SparkSession, d: String) => TextStats.vocab(Catalog(s, d).documents, 500)),

@@ -52,8 +52,37 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
   }
 
+  /** q59: deterministic dense global row index (1-based) over the
+    * seeded shuffle order — the scale-safe `zipWithIndex`. Spark's own
+    * options both fail the contract: `monotonically_increasing_id` is
+    * neither dense nor stable across partitioning, and
+    * `row_number() OVER (ORDER BY …)` funnels the corpus through one
+    * task. [[graft.transform.Cumulative]]'s two-level prefix sum gives
+    * the exact dense rank with every window partition-local; the order
+    * key is the c5/c6 seeded-md5 convention, so the index IS the
+    * position a trainer reads the doc at.
+    */
+  private def globalIndex(s: SparkSession, d: String): DataFrame =
+    graft.transform.Cumulative.runningTotals(
+      Catalog(s, d).documents
+        .select(col("doc_id"),
+          md5(concat(lit("graft-r9"), lit(":"), col("doc_id").cast("string"))
+            .cast("binary")).as("order_key"))
+        .withColumn("_one", lit(1L)),
+      "order_key",
+      graft.transform.Cumulative.hexPrefixBucket(col("order_key"), 2),
+      Seq("_one" -> "idx"))
+      .drop("_one")
+      .orderBy(col("idx"))
+
+  private val globalIndexOracle: String =
+    """SELECT doc_id, md5('graft-r9:' || doc_id) AS order_key,
+      |  CAST(row_number() OVER (ORDER BY md5('graft-r9:' || doc_id)) AS BIGINT) AS idx
+      |FROM documents ORDER BY idx""".stripMargin
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q37_skew_join" -> (skewJoin _, Some(plainJoinOracle)),
-    "q38_bucketed_join" -> (bucketedJoin _, Some(plainJoinOracle))
+    "q38_bucketed_join" -> (bucketedJoin _, Some(plainJoinOracle)),
+    "q59_global_index" -> (globalIndex _, Some(globalIndexOracle))
   )
 }

@@ -1,0 +1,77 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global running totals WITHOUT a single-partition window — the
+  * scale-safe replacement for `sum(x) OVER (ORDER BY k)` /
+  * `row_number() OVER (ORDER BY k)`, which Spark plans as one task
+  * holding the whole frame (the shape PlanSpec forbids for c4).
+  *
+  * Classic two-level prefix sum, keyed by a caller-supplied bucket
+  * expression that must be DETERMINISTIC and ORDER-PRESERVING in the
+  * order key (`k1 < k2 ⇒ bucket(k1) <= bucket(k2)`) with bounded
+  * cardinality — e.g. a leading-hex-prefix integer for md5 order keys,
+  * or an equi-width bin from broadcast min/max for numeric keys:
+  *   1. per-bucket totals via one partial+final aggregation;
+  *   2. the tiny bucket-totals frame (≤ #buckets rows) is
+  *      prefix-summed — the only unpartitioned window in the plan runs
+  *      over THAT frame, bounded by bucket cardinality, never the data;
+  *   3. bucket offsets broadcast back; each task computes its
+  *      intra-bucket running sum independently (window partitioned by
+  *      the bucket) and adds its offset.
+  *
+  * A first cut derived the bucket from `spark_partition_id()` after
+  * `repartitionByRange` — WRONG: the range exchange's sampled
+  * boundaries are not stable across the two evaluations of the input
+  * (offsets branch vs data branch), so whole blocks landed with a
+  * neighbouring block's offset at sf0.1. The bucket must be a pure
+  * function of the DATA, never of the physical layout.
+  *
+  * Cost: the input frame is evaluated twice (totals pass + window
+  * pass) and the data moves through one hashpartitioning(bucket)
+  * exchange; per-task memory is one bucket slice at any corpus size.
+  * Order-key values must be globally DISTINCT and non-null (pre-group
+  * otherwise); summed columns must be non-null.
+  */
+object Cumulative {
+
+  /** Appends one inclusive running total per (inCol → outCol) entry,
+    * ordered by `orderCol` ascending within the `bucket` blocks. The
+    * helper `_b` column is dropped from the result.
+    */
+  def runningTotals(df: DataFrame, orderCol: String, bucket: Column,
+                    totals: Seq[(String, String)]): DataFrame = {
+    val withB = df.withColumn("_b", bucket)
+
+    val perBCols = totals.map { case (in, out) => sum(col(in)).as(s"_t_$out") }
+    val perB = withB.groupBy(col("_b")).agg(perBCols.head, perBCols.tail: _*)
+    // exclusive prefix over the ≤ #buckets total rows — the one place a
+    // frame may legitimately sit in a single task
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perB.select(
+      col("_b") +:
+        totals.map { case (_, out) =>
+          coalesce(sum(col(s"_t_$out")).over(wOff), lit(0L)).as(s"_off_$out")
+        }: _*)
+
+    val wIn = Window.partitionBy(col("_b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols: Seq[Column] =
+      df.columns.map(col).toSeq ++
+        totals.map { case (in, out) =>
+          (sum(col(in)).over(wIn) + col(s"_off_$out")).as(out)
+        }
+    withB.join(broadcast(offsets), Seq("_b"))
+      .select(outCols: _*)
+  }
+
+  /** Order-preserving integer bucket for lowercase-hex order keys (md5
+    * convention): the first `chars` hex digits as an integer — 16^chars
+    * uniform buckets, monotone in the string order.
+    */
+  def hexPrefixBucket(orderKey: Column, chars: Int): Column =
+    conv(substring(orderKey, 1, chars), 16, 10).cast("int")
+}

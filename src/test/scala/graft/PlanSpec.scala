@@ -219,6 +219,16 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
   }
 
+  test("t17/q59: running totals window is bucket-partitioned, never the data in one task") {
+    // Cumulative's contract: the only SinglePartition window runs over
+    // the ≤ #buckets totals frame; the DATA window partitions by _b
+    for (q <- Seq("t17_ks_drift", "q59_global_index")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(_b"),
+        s"$q data window is not bucket-partitioned:\n$p")
+    }
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.transform.{Cleaning, Dedup, Derive, SchemaCompat}
+import graft.transform.{Cleaning, Cumulative, Dedup, Derive, SchemaCompat}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -116,5 +116,28 @@ class TransformSpec extends AnyFunSuite with SharedSpark {
     val once = Dedup.dedupByKeys(df, Seq("k"), Seq("ord"))
     val twice = Dedup.dedupByKeys(once, Seq("k"), Seq("ord"))
     assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("Cumulative: two-level prefix sum == single-partition running sum") {
+    import org.apache.spark.sql.expressions.Window
+    // keys deliberately adversarial for bucketing: clustered + outliers
+    val rows = (1 to 400).map(i => (i.toLong * 7 % 1009, 1L, i.toLong % 5))
+    val df = rows.toDF("k", "one", "w").dropDuplicates("k").repartition(13)
+    val bucket = floor(col("k") * lit(16L) / lit(1010L)).cast("int")
+    val got = Cumulative.runningTotals(df, "k", bucket,
+      Seq("one" -> "idx", "w" -> "cw"))
+      .select("k", "idx", "cw").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val wAll = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("k"),
+      sum(col("one")).over(wAll).as("idx"), sum(col("w")).over(wAll).as("cw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the hex-prefix bucket is monotone in the md5 string order
+    val hexed = df.select(md5(col("k").cast("string").cast("binary")).as("h"))
+      .select(col("h"), Cumulative.hexPrefixBucket(col("h"), 2).as("b"))
+      .orderBy("h").collect().map(_.getInt(1))
+    assert(hexed.toSeq == hexed.toSeq.sorted)
   }
 }
