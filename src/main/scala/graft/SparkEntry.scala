@@ -72,7 +72,7 @@ object SparkEntry {
     "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
     "q55_exact_stats", "q56_funnel", "q57_scd2_merge", "q59_global_index",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
-    "q49_resample_ffill", "q50_scd2_intervals", "g1_pagerank",
+    "q49_resample_ffill", "q50_scd2_intervals", "q58_interval_join", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

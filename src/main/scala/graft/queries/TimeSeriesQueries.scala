@@ -274,6 +274,51 @@ object TimeSeriesQueries {
     untouched.unionByName(closedAffected).unionByName(tail)
   }
 
+  /** q58: keyless interval-overlap join — user activity sessions
+    * ([[graft.analytics.Events.sessionize]]) × the top-50-purchase
+    * incident windows (±30 min around each), via
+    * [[graft.transform.IntervalJoin.overlapBinned]] on a 1-hour grid.
+    * With no equi-key Spark's only native plan is a nested-loop cross
+    * product; the grid turns it into a hash join on the cell id with
+    * the pair emitted exactly once from its first overlap cell. The
+    * overlap duration rides along as exact epoch-microsecond integers.
+    */
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog(s, d).events
+    val sessions = graft.analytics.Events.sessionize(ev, 30)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc, col("event_id").asc).limit(50)
+      .select(col("event_id").as("window_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.transform.IntervalJoin.overlapBinned(
+        sessions, "session_start", "session_end",
+        windows, "w_start", "w_end", binSeconds = 3600L)
+      .select(col("window_id"), col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"),
+        (unix_micros(least(col("session_end"), col("w_end"))) -
+          unix_micros(greatest(col("session_start"), col("w_start"))))
+          .as("overlap_us"))
+  }
+
+  private def intervalJoinOracle: String =
+    s"""WITH sess AS (
+       |${graft.analytics.Events.sessionizeOracle(30)}
+       |),
+       |wins AS (
+       |  SELECT event_id AS window_id,
+       |         ts - INTERVAL 30 MINUTE AS w_start,
+       |         ts + INTERVAL 30 MINUTE AS w_end
+       |  FROM events WHERE event_type = 'purchase'
+       |  ORDER BY value DESC, event_id ASC LIMIT 50)
+       |SELECT window_id, user_id, session_seq, session_start, session_end,
+       |  epoch_us(least(session_end, w_end))
+       |    - epoch_us(greatest(session_start, w_start)) AS overlap_us
+       |FROM sess JOIN wins
+       |  ON session_start <= w_end AND w_start <= session_end""".stripMargin
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     // daily calendar spine + forward fill (time-series gap filling)
     "q49_resample_ffill" -> (
@@ -299,6 +344,9 @@ object TimeSeriesQueries {
     // the hash match proves incremental == batch
     "q57_scd2_merge" -> (
       ((s: SparkSession, d: String) => scd2Merge(Catalog(s, d).events)),
-      Some(scd2IntervalsOracle))
+      Some(scd2IntervalsOracle)),
+
+    // keyless interval-overlap join on the time grid (no nested loop)
+    "q58_interval_join" -> (intervalJoin _, Some(intervalJoinOracle))
   )
 }

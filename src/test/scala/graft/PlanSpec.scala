@@ -229,6 +229,15 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q58: keyless interval join plans as a hash join on the grid cell") {
+    // without the grid the only plan is BroadcastNestedLoopJoin /
+    // CartesianProduct — quadratic at scale
+    val p = plan("q58_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"no hash join on the cell id:\n$p")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)

@@ -118,6 +118,26 @@ class TransformSpec extends AnyFunSuite with SharedSpark {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("IntervalJoin: binned overlap == naive cross-product overlap, one row per pair") {
+    import graft.transform.IntervalJoin
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // spans multiple cells, zero-length, same-cell-non-overlapping
+    val l = Seq((1L, t(0), t(200)), (2L, t(10), t(10)), (3L, t(500), t(520)))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, t(150), t(400)), (20L, t(10), t(12)), (30L, t(530), t(540)))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapBinned(l, "ls", "le", r, "rs", "re", 3600L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naive && got == Set((1L, 10L), (1L, 20L), (2L, 20L)))
+    // multi-cell overlaps emitted exactly once each
+    val n = IntervalJoin.overlapBinned(l, "ls", "le", r, "rs", "re", 3600L).count()
+    assert(n == 3L)
+  }
+
   test("Cumulative: two-level prefix sum == single-partition running sum") {
     import org.apache.spark.sql.expressions.Window
     // keys deliberately adversarial for bucketing: clustered + outliers
