@@ -665,6 +665,18 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.DocStream.runDedupToCompletion(s, stagedDupDocsDir(s, d))
           .select(col("digest"))),
-      Some("SELECT DISTINCT md5(text) AS digest FROM documents"))
+      Some("SELECT DISTINCT md5(text) AS digest FROM documents")),
+
+    // stream-static join run to completion: per-batch broadcast join of
+    // the event stream to the static customer dim, rolled up by nation
+    "e9_stream_static_join" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.runStreamStaticToCompletion(
+          s, stagedEventsDir(d), Catalog(s, d).customer)),
+      Some("""SELECT c_nationkey, count(*) AS n_purchases,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |WHERE event_type = 'purchase'
+             |GROUP BY c_nationkey""".stripMargin))
   )
 }

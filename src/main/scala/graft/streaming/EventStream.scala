@@ -329,6 +329,39 @@ object EventStream {
     spark.read.parquet(out)
   }
 
+  /** e9: stream-static enrichment join — the remaining Structured
+    * Streaming join mode (e6 covers stream-stream). Each micro-batch of
+    * the event stream joins the STATIC customer dimension: stateless,
+    * no watermark and no state store, the dimension broadcast and
+    * re-resolved per batch — the production shape for enriching a
+    * stream against a slowly-refreshed dim table (at 100 TB the stream
+    * is unbounded but each batch's join is one broadcast hash join).
+    * Downstream a complete-mode aggregate rolls purchase traffic up to
+    * the customer's nation; the oracle is the identical batch
+    * join+aggregate.
+    */
+  def runStreamStaticToCompletion(spark: SparkSession, dir: String,
+                                  customer: DataFrame,
+                                  queryName: String = "graft_e9"): DataFrame = {
+    val enriched = readStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+    val q: StreamingQuery = enriched
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the hourly aggregate over a static directory to completion via
     * the in-memory sink; returns the result table. Used by tests to prove
     * batch/stream equivalence.
