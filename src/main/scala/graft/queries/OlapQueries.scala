@@ -344,6 +344,39 @@ object OlapQueries {
              |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
              |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // incremental maintenance of a weekly aggregate: stored partials
+    // (pre-cutoff) merged with delta partials (post-cutoff) by
+    // re-aggregation — the oracle is the FULL RECOMPUTE, so the hash
+    // match proves merged-partials == batch (d12/q57's claim, for
+    // materialized aggregates). The mergeable state is (count,
+    // DECIMAL sum): decimal addition is associative, so two-level
+    // summation is bit-identical to one-level; avg is derived from the
+    // merged state at the end (avg itself is not distributive). The
+    // cutoff week straddles the boundary, so base and delta genuinely
+    // merge rows, not just union disjoint key ranges.
+    "q60_incremental_agg" -> (
+      ((s: SparkSession, d: String) => {
+        val orders = Catalog(s, d).orders
+        val cutTs = lit("2000-01-01 00:00:00").cast("timestamp")
+        def partials(df: DataFrame): DataFrame = df
+          .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("sdec"))
+        partials(orders.filter(col("o_orderdate") < cutTs))
+          .unionByName(partials(orders.filter(col("o_orderdate") >= cutTs)))
+          .groupBy(col("week"), col("o_orderpriority"))
+          .agg(sum(col("n_orders")).as("n_orders"), sum(col("sdec")).as("sdec"))
+          .select(col("week"), col("o_orderpriority"), col("n_orders"),
+            col("sdec").cast("double").as("total_price"),
+            (col("sdec").cast("double") / col("n_orders")).as("avg_price"))
+      }),
+      Some("""SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             |  o_orderpriority, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+             |FROM orders GROUP BY 1, 2""".stripMargin))
   )
 }
