@@ -71,7 +71,7 @@ object SparkEntry {
     "q22_rollup", "q23_cube", "q44_clean_columns", "q45_pivot",
     "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
     "q55_exact_stats", "q56_funnel", "q57_scd2_merge", "q59_global_index",
-    "q60_incremental_agg",
+    "q60_incremental_agg", "q61_quantile_bins", "q62_full_outer",
     "q24_window_frames", "q25_sql_api", "q48_asof_join",
     "q49_resample_ffill", "q50_scd2_intervals", "q58_interval_join", "g1_pagerank",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",

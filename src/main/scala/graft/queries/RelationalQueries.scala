@@ -329,6 +329,42 @@ object RelationalQueries {
              |FROM od
              |LEFT JOIN promo pr
              |  ON od.o_custkey = pr.cd_custkey AND od.day = pr.coupon_day
-             |LEFT JOIN enrolled e ON od.o_custkey = e.c_custkey""".stripMargin))
+             |LEFT JOIN enrolled e ON od.o_custkey = e.c_custkey""".stripMargin)),
+
+    // FULL OUTER join — the one join type not otherwise gated (inner,
+    // left, semi, anti, as-of, interval, range all are). The orders
+    // side is restricted to custkey > 100 so all three row regimes —
+    // matched (custkeys 101..149 with events), left-only (custkeys
+    // ≥ 150), right-only (user_ids ≤ 100) — appear in the gated
+    // output, with a side-provenance label from the null pattern.
+    "q62_full_outer" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        val o = c.orders.filter(col("o_custkey") > 100)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(count(lit(1)).as("n_orders"))
+        val e = c.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("cust"))
+          .agg(count(lit(1)).as("n_purchases"))
+        o.join(e, Seq("cust"), "full_outer")
+          .select(col("cust"), col("n_orders"), col("n_purchases"),
+            (coalesce(col("n_orders"), lit(0L)) +
+              coalesce(col("n_purchases"), lit(0L))).as("n_total"),
+            when(col("n_orders").isNull, "events_only")
+              .when(col("n_purchases").isNull, "orders_only")
+              .otherwise("both").as("side"))
+      }),
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust, count(*) AS n_orders
+             |  FROM orders WHERE o_custkey > 100 GROUP BY 1),
+             |e AS (
+             |  SELECT user_id AS cust, count(*) AS n_purchases
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT COALESCE(o.cust, e.cust) AS cust, n_orders, n_purchases,
+             |  COALESCE(n_orders, 0) + COALESCE(n_purchases, 0) AS n_total,
+             |  CASE WHEN n_orders IS NULL THEN 'events_only'
+             |       WHEN n_purchases IS NULL THEN 'orders_only'
+             |       ELSE 'both' END AS side
+             |FROM o FULL OUTER JOIN e ON o.cust = e.cust""".stripMargin))
   )
 }

@@ -80,9 +80,55 @@ object ScaleQueries {
       |  CAST(row_number() OVER (ORDER BY md5('graft-r9:' || doc_id)) AS BIGINT) AS idx
       |FROM documents ORDER BY idx""".stripMargin
 
+  /** q61: equal-frequency (decile) binning of a numeric column — the
+    * standard feature-discretization op, done VALUE-based so ties land
+    * in one bin deterministically (`ntile` splits ties by physical row
+    * order and can never hash-gate). A value's bin is
+    * `floor(10 * (c_v - 1) / N)` from its inclusive ECDF count `c_v`,
+    * computed on the distinct-value frame through
+    * [[graft.transform.Cumulative]] (no single-task global window),
+    * then joined back to the rows. The distinct frame is the only
+    * thing that moves through the prefix-sum machinery; the fact table
+    * is touched by one aggregation and one join.
+    */
+  private def quantileBins(s: SparkSession, d: String): DataFrame = {
+    val orders = Catalog(s, d).orders
+    val g = orders.groupBy(col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("n_v"))
+    val bounds = g.agg(min(col("v")).as("_v0"), max(col("v")).as("_v1"))
+    val bucket = floor((col("v") - col("_v0")) * lit(32.0d) /
+      (col("_v1") - col("_v0") + lit(1.0d))).cast("int")
+    val cum = graft.transform.Cumulative.runningTotals(
+      g.crossJoin(broadcast(bounds)), "v", bucket, Seq("n_v" -> "c_v"))
+      .drop("_v0", "_v1")
+    val total = g.agg(sum(col("n_v")).as("n_total"))
+    val binned = cum.crossJoin(broadcast(total))
+      .select(col("v"),
+        floor(lit(10L) * (col("c_v") - lit(1L)) / col("n_total")).as("decile"))
+    orders.select(col("o_orderkey"), col("o_totalprice").as("v"))
+      .join(binned, Seq("v"))
+      .select(col("o_orderkey"), col("v").as("o_totalprice"), col("decile"))
+  }
+
+  private val quantileBinsOracle: String =
+    """WITH g AS (
+      |  SELECT o_totalprice AS v, count(*) AS n_v FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT v, CAST(sum(n_v) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_v
+      |  FROM g),
+      |b AS (
+      |  SELECT v,
+      |    CAST(floor(10 * (c_v - 1) / (SELECT CAST(sum(n_v) AS BIGINT) FROM g))
+      |      AS BIGINT) AS decile
+      |  FROM c)
+      |SELECT o_orderkey, o_totalprice, decile
+      |FROM orders JOIN b ON o_totalprice = v""".stripMargin
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q37_skew_join" -> (skewJoin _, Some(plainJoinOracle)),
     "q38_bucketed_join" -> (bucketedJoin _, Some(plainJoinOracle)),
-    "q59_global_index" -> (globalIndex _, Some(globalIndexOracle))
+    "q59_global_index" -> (globalIndex _, Some(globalIndexOracle)),
+    "q61_quantile_bins" -> (quantileBins _, Some(quantileBinsOracle))
   )
 }

@@ -222,7 +222,7 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
   test("t17/q59: running totals window is bucket-partitioned, never the data in one task") {
     // Cumulative's contract: the only SinglePartition window runs over
     // the ≤ #buckets totals frame; the DATA window partitions by _b
-    for (q <- Seq("t17_ks_drift", "q59_global_index")) {
+    for (q <- Seq("t17_ks_drift", "q59_global_index", "q61_quantile_bins")) {
       val p = plan(q)
       assert(p.contains("hashpartitioning(_b"),
         s"$q data window is not bucket-partitioned:\n$p")
