@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counting — the local-clustering primitive (support
+  * of a node's neighbourhood, the basis of clustering coefficients and
+  * community seeds), counted EXACTLY with the degree-ordered
+  * orientation trick.
+  *
+  * The naive relational form joins the edge list to itself on the
+  * shared endpoint and closes the wedge — correct, but the wedge count
+  * is Σ deg², quadratic in the hottest node's degree (one celebrity
+  * node with 10⁶ neighbours = 10¹² wedges). Orienting every undirected
+  * edge from its lower-(degree, id) endpoint to the higher one bounds
+  * the ORIENTED out-degree by O(√m) (a node of oriented out-degree k
+  * has k neighbours of degree ≥ its own, so deg ≥ k and m ≥ k²/2),
+  * which caps wedge generation at Σ outdeg² = O(m^1.5) regardless of
+  * skew — the standard scale-out formulation. Each triangle then has
+  * exactly ONE spanning wedge (at its lowest-ranked vertex, ends
+  * rank-ordered), so no dedup pass and no ×3 correction: the closing
+  * lookup is a single equi-join against the oriented list.
+  *
+  * The oriented edge frame is used three times (two wedge sides + the
+  * closing probe), so it is cached — the iterative-family license
+  * ([[PageRank]]): a derived frame steering a multi-pass computation,
+  * never corpus text.
+  *
+  * All arithmetic is integer; the oracle replays the same triangle SET
+  * from the id-ordered triple join, so the per-node counts hash-gate.
+  */
+object Triangles {
+
+  /** @param edges directed multigraph as (src, dst) BIGINT columns;
+    *              direction, self-loops, and parallel edges are
+    *              discarded — triangles live on the simple undirected
+    *              graph
+    * @return (node, n_triangles) for every node in ≥ 1 triangle,
+    *         ordered by node id
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val und = edges
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .cache()
+
+    val x = oriented.select(col("src"), col("dst").as("a"), col("ddeg").as("da"))
+    val y = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val wedges = x.join(y, Seq("src"))
+      .where(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    // rank(a) < rank(b) ⇒ the a–b edge, if present, is oriented a→b
+    val tri = wedges.join(oriented.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"))
+
+    tri.select(explode(array(col("src"), col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends:
+    * the id-ordered triple join enumerates each triangle once as
+    * (a < b < c), then every corner is credited.
+    */
+  def perNodeSqlTail: String =
+    """und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM edges WHERE src <> dst),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT a AS node FROM t
+      |      UNION ALL SELECT b FROM t
+      |      UNION ALL SELECT c FROM t)
+      |GROUP BY node ORDER BY node""".stripMargin
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Catalog
-import graft.ext.PageRank
+import graft.ext.{PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,12 @@ object GraphQueries {
     // integer-grid PageRank over the co-purchase graph, 5 iterations
     "g1_pagerank" -> (
       ((s: SparkSession, d: String) => PageRank.ranks(coPurchaseEdges(s, d))),
-      Some(s"WITH $coPurchaseEdgesSql,\n${PageRank.ranksSqlTail()}"))
+      Some(s"WITH $coPurchaseEdgesSql,\n${PageRank.ranksSqlTail()}")),
+
+    // exact per-node triangle counts with the degree-ordered
+    // orientation (wedge work bounded O(m^1.5) under any skew)
+    "g2_triangles" -> (
+      ((s: SparkSession, d: String) => Triangles.perNode(coPurchaseEdges(s, d))),
+      Some(s"WITH $coPurchaseEdgesSql,\n${Triangles.perNodeSqlTail}"))
   )
 }

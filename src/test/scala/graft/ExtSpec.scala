@@ -291,4 +291,19 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     // the total (floors only ever lose quanta)
     assert(rank.values.forall(_ > 0) && rank.values.sum <= scale)
   }
+
+  test("Triangles: oriented count matches brute force; noise edges discarded") {
+    import graft.ext.Triangles
+    // K4 on 1..4 (4 triangles, each node in 3) + a star at 9 (no
+    // triangles) + a pendant triangle 5-6-7, fed as noisy directed
+    // multi-edges: duplicates, both directions, self-loops
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L),
+      (9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+    val noisy = und ++ und.map(_.swap) ++ Seq((1L, 2L), (9L, 9L), (6L, 5L))
+    val got = Triangles.perNode(noisy.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
 }
