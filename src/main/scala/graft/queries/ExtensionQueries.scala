@@ -147,6 +147,32 @@ object ExtensionQueries {
       dir.toString
     })
 
+  /** The events table time-split into two single-file halves (cut at
+    * 2024-01-16 UTC on the raw nanos column, so the written schema
+    * matches [[graft.streaming.EventStream.rawSchema]]) for the e10
+    * restart gate: half A is the backfill run 1 processes, half B the
+    * arrivals after the restart — B holds the global max ts, so the
+    * final watermark (and the closed-window set) equals the one-shot
+    * run's. Memoized per sf path like [[stagedEventsDir]].
+    */
+  private val stagedSplitEvents = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def stagedSplitEventFiles(s: SparkSession, d: String): (String, String) =
+    stagedSplitEvents.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_io", "e10_split_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
+      val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+      val raw = s.read.parquet(s"$d/events.parquet") // ts = nanos LongType
+      def half(name: String, pred: org.apache.spark.sql.Column): String = {
+        val dir = s"$base/$name"
+        raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      }
+      (half("a", col("ts") < cutNs), half("b", col("ts") >= cutNs))
+    })
+
   private def embeddingDups(s: SparkSession, d: String): DataFrame =
     VectorOps.blockedAllPairs(Catalog(s, d).embeddings, 0.4)
 
@@ -677,6 +703,25 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
-             |GROUP BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    // checkpointed restart: stop after the older half, resume a NEW
+    // query from the same checkpoint as the newer half arrives —
+    // exactly-once across the restart is what the hash proves (oracle
+    // = e7's one-shot closed-window batch aggregate)
+    "e10_stream_restart" -> (
+      ((s: SparkSession, d: String) => {
+        val (a, b) = stagedSplitEventFiles(s, d)
+        graft.streaming.EventStream.runHourlyRestart(s, a, b,
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+            "graft_io", "e10_scratch").toString)
+      }),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
+             |     <= (SELECT epoch_us(max(ts)) // 1000 - 7200000 FROM events)""".stripMargin))
   )
 }

@@ -329,6 +329,48 @@ object EventStream {
     spark.read.parquet(out)
   }
 
+  /** e10: checkpointed RESTART with exactly-once file-sink output —
+    * the production recovery contract no single-run gate exercises.
+    * Run 1 streams the older half of the events (one file), commits
+    * hourly windows through the checkpoint, and STOPS (a planned
+    * shutdown); the newer half then arrives; run 2 is a NEW query
+    * resuming from the same checkpoint and output path. Exactly-once
+    * across the restart is what the oracle hash proves: the watermark
+    * and window state resume from the state store (the cutover hour
+    * receives events from both runs and still emits once, merged), and
+    * already-committed windows are not re-emitted — any duplicate,
+    * loss, or split window breaks the hash against the one-shot batch
+    * aggregate. Output is read back through the `_spark_metadata`
+    * commit log, so an uncommitted file from the stop is invisible.
+    */
+  def runHourlyRestart(spark: SparkSession, fileA: String, fileB: String,
+                       scratch: String): DataFrame = {
+    val src = s"$scratch/src"; val out = s"$scratch/out"; val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(src, out, ckpt)) fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def arrive(file: String, as: String): Unit =
+      java.nio.file.Files.copy(java.nio.file.Paths.get(file),
+        java.nio.file.Paths.get(src, as),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def run(): Unit = {
+      val q: StreamingQuery = hourlyAgg(readStream(spark, src))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    arrive(fileA, "a.parquet")
+    run()
+    arrive(fileB, "b.parquet")
+    run()
+    spark.read.parquet(out)
+  }
+
   /** e9: stream-static enrichment join — the remaining Structured
     * Streaming join mode (e6 covers stream-stream). Each micro-batch of
     * the event stream joins the STATIC customer dimension: stateless,
