@@ -65,6 +65,7 @@ object SparkEntry {
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
     "e8_stream_dedup", "e9_stream_static_join", "e10_stream_restart",
+    "e11_sliding_windows",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",

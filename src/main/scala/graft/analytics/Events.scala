@@ -32,6 +32,32 @@ object Events {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding (hopping) 2-hour windows on a 1-hour slide — the
+    * overlapping-window aggregate (each event lands in exactly two
+    * windows), via Spark's native `window(ts, size, slide)` which
+    * plans the expansion as a narrow Expand, never a join. Works
+    * identically in batch and streaming (StreamingSpec drives the
+    * streamed form to completion against this); the oracle replays the
+    * two window memberships as a UNION ALL.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  val slidingOracle: String =
+    """WITH x AS (
+      |  SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. Classic two-window
     * pattern: lag to mark session starts, running sum to assign session

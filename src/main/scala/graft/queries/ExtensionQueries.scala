@@ -591,6 +591,12 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => Events.hourly(Catalog(s, d).events)),
       Some(Events.hourlyOracle)),
 
+    // sliding 2h/1h windows (overlapping-window aggregate; Expand, not
+    // a join; batch==streaming, the streamed twin pinned in StreamingSpec)
+    "e11_sliding_windows" -> (
+      ((s: SparkSession, d: String) => Events.sliding(Catalog(s, d).events)),
+      Some(Events.slidingOracle)),
+
     // gap sessionization (lag + running sum windows)
     "e2_sessionize" -> (
       ((s: SparkSession, d: String) => Events.sessionize(Catalog(s, d).events, 30)),

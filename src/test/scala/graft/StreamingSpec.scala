@@ -25,6 +25,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sliding windows == batch sliding windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Events.sliding(EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_sliding_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("graft_sliding_test")
+    val batch = Events.sliding(Catalog(spark, sf).events)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("file sink: commit log exists; emitted windows = watermark-closed subset") {
     val dir = java.nio.file.Files.createTempDirectory("graft_filesink")
     java.nio.file.Files.copy(
