@@ -52,7 +52,7 @@ object SparkEntry {
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
-    "d12_incremental_dedup",
+    "d12_incremental_dedup", "d13_fuzzy_join",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write", "c7_curriculum",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",
@@ -65,7 +65,7 @@ object SparkEntry {
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
     "e8_stream_dedup", "e9_stream_static_join", "e10_stream_restart",
-    "e11_sliding_windows",
+    "e11_sliding_windows", "e12_stream_outer_join",
     "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
     "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
     "q42_inferred_csv", "q43_local_source", "q46_zorder_layout", "q47_merge_upsert",
@@ -73,9 +73,9 @@ object SparkEntry {
     "q51_unpivot", "q52_grouping_sets", "q53_trailing_window", "q54_ab_test",
     "q55_exact_stats", "q56_funnel", "q57_scd2_merge", "q59_global_index",
     "q60_incremental_agg", "q61_quantile_bins", "q62_full_outer",
-    "q24_window_frames", "q25_sql_api", "q48_asof_join",
+    "q24_window_frames", "q25_sql_api", "q48_asof_join", "q63_sliding_distinct",
     "q49_resample_ffill", "q50_scd2_intervals", "q58_interval_join", "g1_pagerank",
-    "g2_triangles",
+    "g2_triangles", "g3_bfs_hops",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

@@ -293,6 +293,13 @@ object ExtensionQueries {
         SpanDedup.removeSpans(CorpusPipeline.spreadText(Catalog(s, d).documents))),
       Some(SpanDedup.removeSpansOracle())),
 
+    // edit-distance similarity join (PassJoin segment blocking +
+    // capped buckets + exact levenshtein verify) — typo-class near-dup
+    "d13_fuzzy_join" -> (
+      ((s: SparkSession, d: String) =>
+        FuzzyJoin.editDistancePairs(Catalog(s, d).documents)),
+      Some(FuzzyJoin.editDistancePairsOracle())),
+
     // brute-force ANN top-5 (the exactness baseline)
     "s1_ann_brute" -> (annBruteForce _, Some(annBruteOracle)),
 
@@ -634,6 +641,45 @@ object ExtensionQueries {
              |  ON a.user_id = b.user_id
              | AND a.event_type = 'view' AND b.event_type = 'purchase'
              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
+    // stream-stream LEFT OUTER interval join: matches emit on arrival
+    // (= the batch inner join); a never-matched view null-pads only
+    // when the final watermark EVICTS its state — a view young enough
+    // to still match a future purchase stays in state unemitted. The
+    // oracle replays that eviction cutoff from the data: the global
+    // watermark is the MIN of the two inputs' per-side event-time
+    // maxima (multipleWatermarkPolicy=min) at 1h delay, ms floor, and
+    // a view evicts only once the watermark clears its 30m match bound
+    "e12_stream_outer_join" -> (
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.runAttributionToCompletion(
+          s, stagedEventsDir(d), 30, queryName = "graft_stream_e12",
+          statePartitions = Some(8), joinType = "left_outer")),
+      Some("""WITH mx AS (
+             |  SELECT least(
+             |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'view'),
+             |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+             |    - 3600000 AS wm_ms),
+             |m AS (
+             |  SELECT a.user_id,
+             |    a.event_id AS view_event_id, b.event_id AS purchase_event_id,
+             |    a.ts AS view_ts, b.ts AS purchase_ts
+             |  FROM events a JOIN events b
+             |    ON a.user_id = b.user_id
+             |   AND a.event_type = 'view' AND b.event_type = 'purchase'
+             |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE),
+             |unm AS (
+             |  SELECT a.user_id,
+             |    a.event_id AS view_event_id, CAST(NULL AS BIGINT) AS purchase_event_id,
+             |    a.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+             |  FROM events a CROSS JOIN mx
+             |  WHERE a.event_type = 'view'
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events b
+             |      WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+             |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+             |    AND epoch_us(a.ts) // 1000 + 1800000 < wm_ms)
+             |SELECT * FROM m UNION ALL SELECT * FROM unm""".stripMargin)),
 
     // the production streaming sink: append-mode windowed agg committed
     // to parquet files through a checkpoint (exactly-once file sink),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Catalog
-import graft.ext.{PageRank, Triangles}
+import graft.ext.{BfsHops, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,13 @@ object GraphQueries {
     // orientation (wedge work bounded O(m^1.5) under any skew)
     "g2_triangles" -> (
       ((s: SparkSession, d: String) => Triangles.perNode(coPurchaseEdges(s, d))),
-      Some(s"WITH $coPurchaseEdgesSql,\n${Triangles.perNodeSqlTail}"))
+      Some(s"WITH $coPurchaseEdgesSql,\n${Triangles.perNodeSqlTail}")),
+
+    // multi-source BFS: min hops from the landmark seed set within 4
+    // supersteps (frontier expansion in the engine, min-union unroll in
+    // the oracle — same monotone fixed-point)
+    "g3_bfs_hops" -> (
+      ((s: SparkSession, d: String) => BfsHops.hops(coPurchaseEdges(s, d))),
+      Some(s"WITH $coPurchaseEdgesSql,\n${BfsHops.hopsSqlTail()}"))
   )
 }

@@ -303,6 +303,48 @@ object TimeSeriesQueries {
           .as("overlap_us"))
   }
 
+  /** q63: trailing 7-day distinct users per active day — the rolling
+    * COUNT(DISTINCT) that range-frame windows cannot express (distinct
+    * is not decomposable over a sliding frame, so `count(distinct)
+    * OVER (RANGE 6 PRECEDING)` is unsupported in Spark and quadratic
+    * where engines do allow it). Scale-safe exact form: reduce the
+    * fact table to distinct (user, day) once, then each active
+    * user-day CONTRIBUTES ITSELF to the 7 days it is visible from
+    * (explode of a 7-element date sequence — bounded map-side fan-out,
+    * not a range self-join), dedupe (user, covered day) so multiple
+    * active days inside one window count once, and count per day.
+    * Total work is 7×|distinct user-days| regardless of window
+    * overlap; the naive day×events range join is |days|× the fact
+    * scan. Output keeps days that had ≥1 event (the trailing count on
+    * a silent day is the previous day's semantics question, q49's
+    * spine+ffill territory).
+    */
+  private def slidingDistinct(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val covered = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+    val activeDays = userDays.select(col("day")).distinct()
+    covered.join(activeDays, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  private val slidingDistinctOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cov AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+      |  FROM ud, generate_series(0, 6) t(i)),
+      |active AS (SELECT DISTINCT day FROM ud)
+      |SELECT cov.day AS day, CAST(count(*) AS BIGINT) AS n_users_7d
+      |FROM cov JOIN active ON cov.day = active.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def intervalJoinOracle: String =
     s"""WITH sess AS (
        |${graft.analytics.Events.sessionizeOracle(30)}
@@ -347,6 +389,12 @@ object TimeSeriesQueries {
       Some(scd2IntervalsOracle)),
 
     // keyless interval-overlap join on the time grid (no nested loop)
-    "q58_interval_join" -> (intervalJoin _, Some(intervalJoinOracle))
+    "q58_interval_join" -> (intervalJoin _, Some(intervalJoinOracle)),
+
+    // exact trailing 7-day distinct users via bounded contribution
+    // fan-out (no range self-join, no quadratic distinct-over-frame)
+    "q63_sliding_distinct" -> (
+      ((s: SparkSession, d: String) => slidingDistinct(Catalog(s, d).events)),
+      Some(slidingDistinctOracle))
   )
 }

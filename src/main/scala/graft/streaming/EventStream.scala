@@ -235,7 +235,8 @@ object EventStream {
     * where emission itself is watermark-driven).
     */
   def streamStreamAttribution(spark: SparkSession, dir: String,
-                              windowMinutes: Int = 30): DataFrame = {
+                              windowMinutes: Int = 30,
+                              joinType: String = "inner"): DataFrame = {
     val views = readStream(spark, dir)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
@@ -248,7 +249,8 @@ object EventStream {
       .withWatermark("p_ts", "1 hour")
     views
       .join(buys, expr(
-        s"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval $windowMinutes minutes"))
+        s"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval $windowMinutes minutes"),
+        joinType)
       .select(
         col("v_user").as("user_id"),
         col("view_event_id"), col("purchase_event_id"),
@@ -269,7 +271,8 @@ object EventStream {
     */
   def runAttributionToCompletion(spark: SparkSession, dir: String, windowMinutes: Int = 30,
                                  queryName: String = "graft_stream_e6",
-                                 statePartitions: Option[Int] = None): DataFrame = {
+                                 statePartitions: Option[Int] = None,
+                                 joinType: String = "inner"): DataFrame = {
     // the override is scoped to a session clone (shared SparkContext and
     // cache, isolated SQL conf): queries planned concurrently on the
     // shared session never see the streaming value, and no crash can
@@ -280,7 +283,7 @@ object EventStream {
       s2
     }
     session.catalog.dropTempView(queryName)
-    val q: StreamingQuery = streamStreamAttribution(session, dir, windowMinutes)
+    val q: StreamingQuery = streamStreamAttribution(session, dir, windowMinutes, joinType)
       .writeStream
       .outputMode("append")
       .format("memory")

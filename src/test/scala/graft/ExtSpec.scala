@@ -306,4 +306,43 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
+
+  test("FuzzyJoin: finds substitution AND indel-shift pairs; cap drops stopword blocks") {
+    import graft.ext.FuzzyJoin
+    val base = "the quick brown fox jump"           // 24 chars
+    val sub2 = "the quack brewn fox jump"           // 2 substitutions -> ed 2
+    val shift = "thequick brown fox jumpX"          // 1 del + 1 ins at ends -> ed 2
+    val far = "zebra zebra zebra zebraz"            // unrelated
+    val short = "tiny"                              // below prefix -> excluded
+    val docs = Seq((1L, base), (2L, sub2), (3L, shift), (4L, far), (5L, short))
+      .toDF("doc_id", "text")
+    val got = FuzzyJoin.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L)),
+      s"expected the substitution pair and the indel-shift pair, got $got")
+
+    // stop-bucket cap: all five boilerplate docs share segments 0 and 1
+    // ("SHAREDSE", "G0000000") and differ only in the last digit, so
+    // every pair is ed 1 — but ONLY the shared segments generate their
+    // candidates. With cap 3 those blocks are dropped: zero pairs out.
+    val boiler = (1L to 5L).map(i => (i, f"SHAREDSEG$i%015d")).toDF("doc_id", "text")
+    assert(FuzzyJoin.editDistancePairs(boiler, bucketCap = 100).count() == 10L)
+    assert(FuzzyJoin.editDistancePairs(boiler, bucketCap = 3).count() == 0L)
+  }
+
+  test("BfsHops: frontier expansion takes the MIN hop; unreached nodes absent") {
+    import graft.ext.BfsHops
+    // seeds (node % 50 == 0): 50 and 100. Node 3 is reachable in 1 hop
+    // from 100 and in 3 hops via the 1-2-3 chain — min wins. Node 5 is
+    // 3 hops via the shortcut (not 5 via the chain); 20/21 are a
+    // disconnected component; (50,1) is a parallel edge.
+    val edges = Seq((50L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (100L, 7L), (7L, 8L), (100L, 3L), (20L, 21L), (21L, 20L), (50L, 1L))
+    val got = BfsHops.hops(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(50L -> 0L, 100L -> 0L,
+      1L -> 1L, 3L -> 1L, 7L -> 1L,
+      2L -> 2L, 4L -> 2L, 8L -> 2L,
+      5L -> 3L))
+  }
 }

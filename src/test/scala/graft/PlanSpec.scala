@@ -238,6 +238,19 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("HashJoin"), s"no hash join on the cell id:\n$p")
   }
 
+  test("q63/d13: pair generators are equi-joins — no nested loop, no cartesian") {
+    // q63's sliding distinct must come from the bounded contribution
+    // fan-out (Generate + hash agg), never a day-range theta join; d13's
+    // candidates must come from the segment equi-join, never all-pairs
+    for (q <- Seq("q63_sliding_distinct", "d13_fuzzy_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    assert(plan("q63_sliding_distinct").contains("Generate"),
+      "q63 lost the explode-contribution shape")
+  }
+
   test("q1: aggregation stays in whole-stage codegen") {
     // CodegenMode explain can't see through an un-executed AdaptiveSparkPlan,
     // so assert with AQE off (codegen itself is independent of AQE)
