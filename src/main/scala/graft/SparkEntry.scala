@@ -52,7 +52,7 @@ object SparkEntry {
     "d1_dedup_exact", "d2_minhash_signatures", "d3_minhash_pairs",
     "d4_ngram_jaccard", "d5_simhash", "d6_simhash_pairs", "d7_embedding_dups",
     "d8_dup_clusters", "d9_decontaminate", "d10_span_dedup", "d11_span_removal",
-    "d12_incremental_dedup", "d13_fuzzy_join",
+    "d12_incremental_dedup", "d13_fuzzy_join", "d14_containment",
     "c1_corpus_pipeline", "c2_corpus_filter_first", "c3_mixture_sample",
     "c4_pack_sequences", "c5_mixture_epochs", "c6_training_write", "c7_curriculum",
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_recall", "s5_ann_ivf_fixed",

@@ -293,6 +293,14 @@ object ExtensionQueries {
         SpanDedup.removeSpans(CorpusPipeline.spreadText(Catalog(s, d).documents))),
       Some(SpanDedup.removeSpansOracle())),
 
+    // containment similarity join (prefix filter + exact intersect):
+    // doc-quoted-inside-doc detection, the asymmetric case Jaccard
+    // misses — candidates only from each doc's rarest-gram prefix
+    "d14_containment" -> (
+      ((s: SparkSession, d: String) =>
+        ContainmentJoin.pairs(Catalog(s, d).documents)),
+      Some(ContainmentJoin.pairsOracle())),
+
     // edit-distance similarity join (PassJoin segment blocking +
     // capped buckets + exact levenshtein verify) — typo-class near-dup
     "d13_fuzzy_join" -> (

@@ -330,6 +330,40 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(FuzzyJoin.editDistancePairs(boiler, bucketCap = 3).count() == 0L)
   }
 
+  test("ContainmentJoin: prefix filter is complete vs brute force; asymmetry holds") {
+    import graft.ext.ContainmentJoin
+    // doc 1 is a verbatim excerpt of doc 2 (containment 1->2 = 100%);
+    // doc 2 is NOT contained in doc 1 (it has many extra grams); doc 3
+    // shares nothing. Grams are word 3-grams.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (11 to 22).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val got = ContainmentJoin.pairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 100L)), s"expected only 1-contained-in-2, got $got")
+
+    // completeness at the threshold: operator pairs == brute-force pairs
+    // on a corpus with partial overlaps straddling the 80% gate
+    val base = (1 to 20).map(i => s"b$i")
+    val corpus = (0L to 5L).map { k =>
+      // doc k keeps a k-dependent prefix of base plus its own tail
+      val kept = base.take(20 - k.toInt * 2)
+      (k, (kept ++ (1 to k.toInt * 2).map(j => s"t${k}_$j")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val op = ContainmentJoin.pairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def grams(s: String): Set[Seq[String]] =
+      s.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a != b
+      ga = grams(texts(a)); gb = grams(texts(b))
+      if ga.nonEmpty && (ga intersect gb).size * 100 >= ga.size * 80
+    } yield (a, b)).toSet
+    assert(op == brute, s"operator $op vs brute $brute")
+  }
+
   test("BfsHops: frontier expansion takes the MIN hop; unreached nodes absent") {
     import graft.ext.BfsHops
     // seeds (node % 50 == 0): 50 and 100. Node 3 is reachable in 1 hop
