@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Catalog
-import graft.ext.{BfsHops, PageRank, Triangles}
+import graft.ext.{BfsHops, LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,13 @@ object GraphQueries {
     // the oracle — same monotone fixed-point)
     "g3_bfs_hops" -> (
       ((s: SparkSession, d: String) => BfsHops.hops(coPurchaseEdges(s, d))),
-      Some(s"WITH $coPurchaseEdgesSql,\n${BfsHops.hopsSqlTail()}"))
+      Some(s"WITH $coPurchaseEdgesSql,\n${BfsHops.hopsSqlTail()}")),
+
+    // deterministic synchronous label propagation: weighted majority
+    // vote per superstep, ties to the smallest label (community
+    // detection made engine-replayable)
+    "g4_label_prop" -> (
+      ((s: SparkSession, d: String) => LabelPropagation.communities(coPurchaseEdges(s, d))),
+      Some(s"WITH $coPurchaseEdgesSql,\n${LabelPropagation.communitiesSqlTail()}"))
   )
 }

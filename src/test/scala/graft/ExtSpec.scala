@@ -364,6 +364,38 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(op == brute, s"operator $op vs brute $brute")
   }
 
+  test("LabelPropagation: synchronous weighted vote matches a hand-rolled loop; ties to smallest label") {
+    import graft.ext.LabelPropagation
+    // two triangles {1,2,3} and {7,8,9} bridged by 3->7, plus a
+    // parallel 9->7 edge (multiplicity must weight the vote) and an
+    // isolated pair 20<->21. Undirected core: each undirected edge fed
+    // both ways so votes flow symmetrically.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val edgeSeq = und ++ und.map { case (a, b) => (b, a) } ++
+      Seq((3L, 7L), (9L, 7L), (20L, 21L), (21L, 20L))
+    val iters = 3
+    val got = LabelPropagation.communities(edgeSeq.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    var ref = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val votes = edgeSeq.groupBy(_._2).map { case (d, es) =>
+        d -> es.groupBy(e => ref(e._1)).map { case (l, v) => l -> v.size }
+      }
+      ref = nodes.map { v =>
+        v -> votes.get(v).map { m =>
+          val best = m.values.max
+          m.collect { case (l, c) if c == best => l }.min
+        }.getOrElse(ref(v))
+      }.toMap
+    }
+    assert(got == ref, s"engine $got vs reference $ref")
+    // communities form: the two triangles settle on distinct labels
+    assert(Set(1L, 2L, 3L).map(got).size == 1)
+    assert(Set(20L, 21L).map(got).size <= 2 && got(20L) != got(1L))
+  }
+
   test("BfsHops: frontier expansion takes the MIN hop; unreached nodes absent") {
     import graft.ext.BfsHops
     // seeds (node % 50 == 0): 50 and 100. Node 3 is reachable in 1 hop

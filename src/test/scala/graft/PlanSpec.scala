@@ -97,6 +97,13 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$p")
   }
 
+  test("g4: supersteps materialize — final plan reads the cached labels, no cartesian") {
+    val p = plan("g4_label_prop")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"final superstep not materialized — ordering replans the whole history:\n$p")
+    assert(!p.contains("CartesianProduct"), s"label prop planned a cartesian:\n$p")
+  }
+
   test("q53: range-frame features are join-free — two key exchanges, no spine") {
     val p = plan("q53_trailing_window")
     assert(!p.contains("Join"), s"trailing window planned a join:\n$p")
