@@ -23,20 +23,14 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) so
-    * it arrives as nanos-since-epoch LongType, converted here to a proper
-    * microsecond timestamp (integer DIV — no double round-trip, which
-    * would lose precision above 2^53 ns).
+  /** `events.ts` has shipped under several parquet footer encodings across
+    * driver runtimes (TIMESTAMP_NTZ micros today; TIMESTAMP(NANOS) read as
+    * LongType under the legacy flag before). All arrival shapes normalize
+    * to ONE canonical `TimestampType` here — see [[EventTime.normalizeTs]],
+    * the single ingestion code path shared with the streaming source
+    * ([[graft.streaming.EventStream.readStream]]).
     */
-  def events: DataFrame = {
-    val raw = table("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
-  }
+  def events: DataFrame = EventTime.normalizeTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

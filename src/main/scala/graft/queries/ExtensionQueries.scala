@@ -148,12 +148,14 @@ object ExtensionQueries {
     })
 
   /** The events table time-split into two single-file halves (cut at
-    * 2024-01-16 UTC on the raw nanos column, so the written schema
-    * matches [[graft.streaming.EventStream.rawSchema]]) for the e10
-    * restart gate: half A is the backfill run 1 processes, half B the
-    * arrivals after the restart — B holds the global max ts, so the
-    * final watermark (and the closed-window set) equals the one-shot
-    * run's. Memoized per sf path like [[stagedEventsDir]].
+    * 2024-01-16 UTC on the canonically-normalized `ts`, so the written
+    * halves carry a plain UTC-micros timestamp footer that
+    * [[graft.streaming.EventStream.readStream]]'s footer-derived schema
+    * reads back unchanged) for the e10 restart gate: half A is the
+    * backfill run 1 processes, half B the arrivals after the restart —
+    * B holds the global max ts, so the final watermark (and the closed-
+    * window set) equals the one-shot run's. Memoized per sf path like
+    * [[stagedEventsDir]].
     */
   private val stagedSplitEvents = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def stagedSplitEventFiles(s: SparkSession, d: String): (String, String) =
@@ -162,15 +164,15 @@ object ExtensionQueries {
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_io", "e10_split_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
-      val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
-      val raw = s.read.parquet(s"$d/events.parquet") // ts = nanos LongType
+      val cut = to_timestamp(lit("2024-01-16 00:00:00")) // UTC session frame
+      val raw = graft.core.EventTime.normalizeTs(s.read.parquet(s"$d/events.parquet"))
       def half(name: String, pred: org.apache.spark.sql.Column): String = {
         val dir = s"$base/$name"
         raw.filter(pred).coalesce(1).write.mode("overwrite").parquet(dir)
         new java.io.File(dir).listFiles()
           .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
       }
-      (half("a", col("ts") < cutNs), half("b", col("ts") >= cutNs))
+      (half("a", col("ts") < cut), half("b", col("ts") >= cut))
     })
 
   private def embeddingDups(s: SparkSession, d: String): DataFrame =

@@ -31,24 +31,39 @@ final case class UserSession(user_id: Long, session_start: java.time.Instant,
   */
 object EventStream {
 
-  /** Schema of the events source as it arrives post nanos->long read
-    * (see [[graft.core.Catalog.events]]).
+  /** Every run-to-completion gate helper funnels its sink through this:
+    * a streaming gate that emits ZERO rows exits "cleanly" and then fails
+    * (or worse, silently skews) only at the oracle compare — exactly how
+    * r9's ingestion regression hid e5/e7 writing empty sinks. Emission is
+    * part of each helper's contract, so an empty sink fails HERE, loudly,
+    * at the operator boundary.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),   // nanos since epoch (legacy read)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def requireEmission(df: DataFrame, gate: String): DataFrame = {
+    require(!df.isEmpty,
+      s"streaming gate $gate emitted 0 rows — watermark never closed any " +
+        "state or the source produced no data; refusing to return an empty sink")
+    df
+  }
 
-  /** File-based streaming read of an events directory. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** File-based streaming read of an events directory.
+    *
+    * The file-stream source requires a declared schema; hard-coding one
+    * is how r9 broke (the footer changed from TIMESTAMP(NANOS) to
+    * TIMESTAMP_NTZ micros and a forced-LongType read double-divided the
+    * values onto 1970). Instead the schema is derived from the actual
+    * parquet footers (a driver-only metadata read of the same directory)
+    * and `ts` goes through the SAME canonical normalization as the batch
+    * catalog ([[graft.core.EventTime.normalizeTs]]) — one ingestion code
+    * path, so batch and streaming can never disagree on event time.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.core.EventTime.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour window aggregate with a 2-hour watermark — the
     * streaming twin of `Events.hourly`.
@@ -114,11 +129,11 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    requireEmission(spark.table(queryName)
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
-        max_by(col("total_value"), col("n_events")).as("total_value"))
+        max_by(col("total_value"), col("n_events")).as("total_value")), queryName)
   }
 
   /** Gap-sessionization as ARBITRARY stateful streaming
@@ -216,7 +231,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    requireEmission(spark.table(queryName), queryName)
   }
 
   /** Stream-stream interval join: view -> purchase attribution within
@@ -291,7 +306,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    session.table(queryName)
+    requireEmission(session.table(queryName), queryName)
   }
 
   /** Drive [[hourlyAgg]] through the PRODUCTION sink — parquet files
@@ -329,7 +344,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(out)
+    requireEmission(spark.read.parquet(out), "e7_file_sink")
   }
 
   /** e10: checkpointed RESTART with exactly-once file-sink output —
@@ -371,7 +386,7 @@ object EventStream {
     run()
     arrive(fileB, "b.parquet")
     run()
-    spark.read.parquet(out)
+    requireEmission(spark.read.parquet(out), "e10_restart")
   }
 
   /** e9: stream-static enrichment join — the remaining Structured
@@ -404,7 +419,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    requireEmission(spark.table(queryName), queryName)
   }
 
   /** Run the hourly aggregate over a static directory to completion via
@@ -420,6 +435,6 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    requireEmission(spark.table(queryName), queryName)
   }
 }
