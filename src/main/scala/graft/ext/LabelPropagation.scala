@@ -38,10 +38,22 @@ object LabelPropagation {
     */
   def communities(edges: DataFrame, iterations: Int = 3): DataFrame = {
     val adj = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    // nodes feeds ONLY the seed labels frame (one consumer — no cache);
+    // adj's cache is what the supersteps reuse
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node")))
       .distinct()
-      .cache()
+
+    // the argmax encodes "ties to smallest label" as max(-label), which
+    // inverts ONLY on non-negative ids; a negative id would silently
+    // diverge from the oracle's ORDER BY label ASC, so fail loudly
+    val minRow = nodes.agg(min(col("node"))).head
+    if (!minRow.isNullAt(0)) {
+      val minNode = minRow.getAs[Number](0).longValue
+      require(minNode >= 0L,
+        s"LabelPropagation requires non-negative node ids (tie-break is " +
+          s"max(-label)); got min node id $minNode")
+    }
 
     var labels = nodes.select(col("node"), col("node").as("label"))
     var prevCached: Option[DataFrame] = None

@@ -62,6 +62,19 @@ object SegmentationPipeline {
     fits.maxBy(f => (f.silhouette, -f.wssse))
   }
 
+  /** One fixed-K fit of the same assembler->scaler->KMeans pipeline —
+    * the unit the persistence round-trip gate saves and reloads (auto-K
+    * would re-fit 7 models just to exercise save/load).
+    */
+  def fitFixedK(features: DataFrame, k: Int, seed: Long = 123L): org.apache.spark.ml.PipelineModel = {
+    val cols = Array("acctbal", "frequency", "monetary", "recency_days")
+    val assembler = new VectorAssembler().setInputCols(cols).setOutputCol("raw_features")
+    val scaler = new StandardScaler().setInputCol("raw_features").setOutputCol("features")
+      .setWithStd(true).setWithMean(false)
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+    new Pipeline().setStages(Array(assembler, scaler, km)).fit(features)
+  }
+
   /** Cluster sizes of the best model (deterministic given fixed seeds). */
   def clusterSizes(customer: DataFrame, orders: DataFrame): DataFrame = {
     val f = features(customer, orders)

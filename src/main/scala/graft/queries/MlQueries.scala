@@ -30,6 +30,35 @@ object MlQueries {
       }),
       None),
 
+    // S12/M12: model-persistence round-trip THROUGH the registry — fit a
+    // fixed-K segmentation PipelineModel, save it, load it back, and
+    // re-score the identical feature rows with BOTH copies. The output is
+    // one self-checking row: n_mismatch counts customers the loaded model
+    // assigns differently from the in-memory one (must be 0 — asserted in
+    // ServingSpec; the driver gate is rows>0 like the other ML fits).
+    // Ref: SegmentationModel.java:198, SegmentationPrediction.java:26-27.
+    "ml_model_roundtrip" -> (
+      ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val c = Catalog(s, d)
+        val f = SegmentationPipeline.features(c.customer, c.orders).cache()
+        val model = SegmentationPipeline.fitFixedK(f, 4)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_io", s"ml_model_$digest").toString
+        graft.serve.Serving.saveModel(model, path)
+        val loaded = graft.serve.Serving.loadModel(path)
+        val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
+        val re = loaded.transform(f).select(col("custkey"), col("prediction").as("p_loaded"))
+        mem.join(re, Seq("custkey"))
+          .agg(
+            count(lit(1)).as("n_scored"),
+            sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)).as("n_mismatch"),
+            countDistinct(col("p_loaded")).as("n_clusters"))
+      }),
+      None),
+
     // M11: ALS implicit top-5
     "ml_als_recommend" -> (
       ((s: SparkSession, d: String) => {

@@ -36,4 +36,12 @@ class ServingSpec extends AnyFunSuite with SharedSpark {
       Seq[Any](0L, 1000.0, 5.0, 20000.0, 30.0))
     assert(manual.select("prediction").head().getInt(0) >= 0)
   }
+
+  test("ml_model_roundtrip registry gate: loaded model rescoring matches exactly") {
+    val row = graft.SparkEntry.queries("ml_model_roundtrip")(spark, sf).head()
+    assert(row.getAs[Long]("n_scored") > 0)
+    assert(row.getAs[Long]("n_mismatch") == 0L,
+      "loaded PipelineModel assigned different clusters than the in-memory fit")
+    assert(row.getAs[Long]("n_clusters") > 1)
+  }
 }
