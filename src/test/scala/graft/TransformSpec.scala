@@ -138,6 +138,28 @@ class TransformSpec extends AnyFunSuite with SharedSpark {
     assert(n == 3L)
   }
 
+  test("IntervalJoin: NTZ and mixed NTZ/LTZ inputs join on one coherent timeline") {
+    import graft.transform.IntervalJoin
+    import org.apache.spark.sql.types.TimestampNTZType
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val l = Seq((1L, t(0), t(200)), (2L, t(10), t(10)), (3L, t(500), t(520)))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, t(150), t(400)), (20L, t(10), t(12)), (30L, t(530), t(540)))
+      .toDF("rid", "rs", "re")
+    def ntz(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampNTZType)))
+    val want = Set((1L, 10L), (1L, 20L), (2L, 20L))
+    def pairs(lf: org.apache.spark.sql.DataFrame, rf: org.apache.spark.sql.DataFrame) =
+      IntervalJoin.overlapBinned(lf, "ls", "le", rf, "rs", "re", 3600L)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // both sides NTZ — the r9 footer shape
+    assert(pairs(ntz(l, "ls", "le"), ntz(r, "rs", "re")) == want)
+    // mixed: one side NTZ, one LTZ — epochMicros puts both on one timeline
+    assert(pairs(ntz(l, "ls", "le"), r) == want)
+    assert(pairs(l, ntz(r, "rs", "re")) == want)
+  }
+
   test("Cumulative: two-level prefix sum == single-partition running sum") {
     import org.apache.spark.sql.expressions.Window
     // keys deliberately adversarial for bucketing: clustered + outliers
