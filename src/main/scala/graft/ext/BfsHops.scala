@@ -39,7 +39,19 @@ object BfsHops {
     *         ordered by node id
     */
   def hops(edges: DataFrame, seedMod: Long = 50L, maxHops: Int = 4): DataFrame = {
-    val adj = edges.select(col("src"), col("dst")).distinct().cache()
+    // co-partition the adjacency by src ONCE and cache (the PageRank
+    // idiom): every superstep's frontier join then reuses the cached
+    // HashPartitioning(src) and shuffles only the frontier — without
+    // this, each round re-shuffled the full edge list (a plain
+    // distinct() caches under (src, dst) partitioning, which the
+    // src-keyed join cannot reuse). dropDuplicates AFTER the
+    // repartition adds no exchange: hash(src) already clusters equal
+    // (src, dst) pairs, and Catalyst accepts a subset partitioning for
+    // the aggregate's distribution requirement.
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .cache()
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node")))
       .distinct()

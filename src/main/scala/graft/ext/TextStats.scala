@@ -278,8 +278,22 @@ object TextStats {
   /** [[wordGramsCol]] hashed to the engine's shared md5-prefix longs —
     * what crosses shuffles/broadcasts in corpus-level gram joins
     * ([[Decontaminate]]): 8 bytes per gram instead of the gram string.
+    *
+    * Shipped as the native [[graft.functions.WordGramHashesExpr]] — the
+    * relational twin `transform(wordGramsCol(text, n), g ->
+    * conv(substring(md5(g), 1, 12), 16, 10))` re-splits the document per
+    * gram inside the interpreted lambda (O(words²) per row; it was 7.9 s
+    * of d14's 7.8-s sf0.1 bench). Bit parity between the two is pinned
+    * in WordGramHashesSpec.
     */
   def hashedWordGramsCol(text: Column, n: Int): Column =
+    graft.functions.WordGramHashesExpr.of(text, n)
+
+  /** The interpreted relational formulation of [[hashedWordGramsCol]] —
+    * kept as the parity twin the spec replays against the native
+    * expression (and as documentation of the exact semantics).
+    */
+  def hashedWordGramsRelational(text: Column, n: Int): Column =
     transform(wordGramsCol(text, n),
       g => conv(substring(md5(g.cast("binary")), 1, 12), 16, 10).cast("long"))
 

@@ -152,6 +152,15 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("SortMergeJoin"), s"corpus grams fell back to sort-merge:\n$p")
   }
 
+  test("d14: gram build is the native one-pass expression, not interpreted lambdas") {
+    // the relational transform/md5 form re-splits the document per gram
+    // inside a CodegenFallback lambda (it was 7.9 s of d14's sf0.1 cost);
+    // the shipped plan must carry the compiled expression instead
+    val p = plan("d14_containment")
+    assert(p.contains("word_gram_hashes"), s"native word-gram expression not in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"containment join went cartesian:\n$p")
+  }
+
   test("d10: one digest-only corpus shuffle; pair verify never sort-merges") {
     // the 100-TB contract for span dedup: the corpus-wide stage ships
     // (hash, doc_id, pos) triples through exactly ONE hash shuffle with
