@@ -39,13 +39,21 @@ object Triangles {
     *         ordered by node id
     */
   def perNode(edges: DataFrame): DataFrame = {
+    // und feeds deg TWICE (du and dv joins) plus the orientation join:
+    // uncached, the whole edge-producing subtree (for the co-purchase
+    // graph, a lineitem self-join) re-evaluates three times in the
+    // executed plan (seen live: three BroadcastHashJoins on l_orderkey).
+    // Cache both build frames, materialize the oriented list, release —
+    // the PageRank one-pass lesson applied to the orientation build.
     val und = edges
       .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
       .where(col("u") =!= col("v"))
       .distinct()
+      .cache()
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .cache()
 
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
@@ -56,16 +64,56 @@ object Triangles {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      // cache under hash(src): both wedge sides are THIS cache joined on
+      // src, so the self-join inherits matching partitioning from the
+      // InMemoryTableScan and plans with no exchange on either side —
+      // without the repartition, the wedge join re-shuffled the full
+      // oriented list twice per run (the BfsHops/PageRank idiom)
+      .repartition(col("src"))
       .cache()
+    // materialize the oriented list, then release the build-only frames
+    // (everything downstream — both wedge sides and the closing probe —
+    // reads the oriented cache alone); the count also sizes the closure
+    // Bloom filter below (a plan constant, the AnnIvf-centroid license)
+    val m = oriented.count()
+    und.unpersist()
+    deg.unpersist()
 
     val x = oriented.select(col("src"), col("dst").as("a"), col("ddeg").as("da"))
     val y = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
     val wedges = x.join(y, Seq("src"))
       .where(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")))
-    // rank(a) < rank(b) ⇒ the a–b edge, if present, is oriented a→b
-    val tri = wedges.join(oriented.select(col("src").as("a"), col("dst").as("b")),
-      Seq("a", "b"))
+    // Semi-join reduction before the closure shuffle: the wedge stream
+    // is O(m^1.5) (41M rows at the sf0.1 co-purchase graph) but only
+    // ~#triangles of it survives the closing probe (1.9M there) — so
+    // shuffling every wedge to the (a, b) join is mostly wasted I/O
+    // (measured 10.2 s of g2's cost). A Bloom filter of the closing
+    // edge keys drops non-closing wedges MAP-SIDE at ~1% false-positive
+    // rate; the exact equi-join then verifies survivors, so false
+    // positives cost only shuffle bytes, never correctness — the same
+    // broadcast-sketch-prunes-the-shuffle pattern as [[BloomPrune]] and
+    // [[Decontaminate]]. The filter is built distributively
+    // (stat.bloomFilter = treeAggregate over the cached oriented list);
+    // only the finished ~MB sketch lands on the driver and re-embeds as
+    // a plan literal (the AnnIvf plan-constant license — Spark's own
+    // runtime-filter aggregate is not in the public function registry,
+    // and might_contain requires a foldable filter side).
+    val tri = if (m == 0) wedges.limit(0)
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+    else {
+      val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val mightContain = {
+        import org.apache.spark.sql.GraftColumnBridge._
+        column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          expression(lit(bos.toByteArray)), expression(expr("xxhash64(a, b)"))))
+      }
+      // rank(a) < rank(b) ⇒ the a–b edge, if present, is oriented a→b
+      wedges.where(mightContain)
+        .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+    }
 
     tri.select(explode(array(col("src"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
