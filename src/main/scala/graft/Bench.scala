@@ -40,6 +40,20 @@ import org.apache.spark.sql.SparkSession
   * collection stays out of the timed window.
   */
 object Bench {
+
+  /** 1-minute system load average (ManagementFactory OS bean; -1.0 where
+    * the platform can't report one). Stamped per-query and at the run
+    * boundaries so a reader of bench.json can separate ambient machine
+    * load from genuine regressions without cross-referencing a second
+    * same-session run (the r9/r10 drift postmortems both needed exactly
+    * this signal and had to reconstruct it from pair deltas).
+    */
+  private def loadAvg: Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(v * 100.0) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,8 +81,10 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    val loadStart = loadAvg
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      val qLoad = loadAvg
       val secs = (1 to runs).map { _ =>
         // cold-plan guarantee (no CacheManager hit) + cross-query reset
         hygiene()
@@ -79,15 +95,24 @@ object Bench {
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
       val ok = secs.forall(_._2)
-      (name, if (ok) secs.map(_._1).min else -1.0, ok)
+      (name, if (ok) secs.map(_._1).min else -1.0, ok, secs.map(_._1), qLoad)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // every individual run time (not just the min) + the 1-min loadavg
+    // sampled as each query started: the drift-diagnosis channel — a
+    // slow MIN with quiet load is a regression, a slow min with one slow
+    // run or climbing load is the machine
+    val runsDetail = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, _, _, l) => "\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail}"""
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     System.out.println(line)

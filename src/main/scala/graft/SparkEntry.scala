@@ -75,7 +75,7 @@ object SparkEntry {
     "q60_incremental_agg", "q61_quantile_bins", "q62_full_outer",
     "q24_window_frames", "q25_sql_api", "q48_asof_join", "q63_sliding_distinct",
     "q49_resample_ffill", "q50_scd2_intervals", "q58_interval_join", "g1_pagerank",
-    "g2_triangles", "g3_bfs_hops", "g4_label_prop",
+    "g2_triangles", "g3_bfs_hops", "g4_label_prop", "g5_triangles_capped",
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",

@@ -110,10 +110,118 @@ object AnnIvf {
       .map(a => org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
   }
 
+  /** Quantized-integer centroid scoring: like [[cellScores]] but over
+    * centroids ALREADY on the 10^7 integer grid (`Array[Long]` per
+    * cell). Each quantized coordinate q re-enters [[VectorOps.dotQ]] as
+    * the double `(q + 0.5) / Grid`, whose re-quantization
+    * `floor(((q+0.5)/Grid)*Grid)` is exactly `q` for every |q| within
+    * the embedding range (the ±0.5 head-room absorbs the two rounding
+    * steps: total error < 1e-8 ≪ 0.5) — so the engine's integer scores
+    * are bit-identical to an oracle that never leaves the grid.
+    */
+  private def cellScoresQ(v: Column, centsQ: Array[Array[Long]]): Column =
+    array(centsQ.toIndexedSeq.zipWithIndex.map { case (cq, i) =>
+      val c2 = cq.map(q => q * q).sum
+      val cd = cq.map(q => (q.toDouble + 0.5) / graft.functions.QuantizedDot.Grid)
+      struct(
+        (lit(c2) - lit(2L) * VectorOps.dotQ(v, typedLit(cd))).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** [[assign]] under quantized-integer centroids. */
+  def assignQ(embeddings: DataFrame, centsQ: Array[Array[Long]]): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      array_min(cellScoresQ(col("embedding"), centsQ)).getField("cell").as("cell"),
+      col("embedding"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"))
+
+  /** [[probeCells]] under quantized-integer centroids. */
+  private[ext] def probeCellsQ(queries: DataFrame, centsQ: Array[Array[Long]],
+                               nProbe: Int): DataFrame =
+    queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"),
+      explode(slice(array_sort(cellScoresQ(col("embedding"), centsQ)), 1, nProbe)).as("sc"))
+      .select(col("qid"), col("qv"), col("qn"), col("sc.cell").as("cell"))
+
+  /** Deterministic fixed-iteration Lloyd on the integer grid — the
+    * SQL-replayable k-means that lets the FITTED IVF path hash-gate
+    * (where [[centroids]]' ML k-means fit cannot: k-means|| init +
+    * order-dependent double sums). Init = the quantized vectors of the
+    * `nCells` smallest vec_ids (cell id = rank); each iteration assigns
+    * every vector to its argmin cell on the integer score grid (ties to
+    * the lower cell) and re-centers each cell at the elementwise
+    * floor-div mean `floorDiv(Σ xq, n)` — BIGINT sums are
+    * order-independent, floor-div is engine-exact, so T iterations
+    * replay bit-identically as an unrolled CTE chain
+    * ([[lloydTopKOracle]]), the PageRank/LabelPropagation pattern
+    * applied to the clustering fit. Cells that lose all members keep
+    * their previous centroid.
+    *
+    * The per-iteration driver pull is `nCells × dims` (sum, count) rows
+    * — a plan constant (the AnnIvf-centroid license), never data. At
+    * 100 TB the assignment pass is the same one scan per iteration the
+    * ML fit pays; the sample-bounding of [[centroids]] applies the same
+    * way if the fit input is capped upstream.
+    */
+  def lloydCentroidsQ(embeddings: DataFrame, nCells: Int, iters: Int = 3): Array[Array[Long]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = graft.functions.QuantizedDot.Grid
+    var cents: Array[Array[Long]] = embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * grid).toLong))
+    for (_ <- 1 to iters) {
+      val sums = embeddings
+        .select(
+          array_min(cellScoresQ(col("embedding"), cents)).getField("cell").as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("cell"), col("i"), floor(col("x").cast("double") * lit(grid)).as("xq"))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("i"), r.getAs[Long]("s"), r.getAs[Long]("n")))
+        .groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        sums.get(cell) match {
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { case (_, i, s, n) => next(i) = Math.floorDiv(s, n) }
+            next
+          case None => old // empty cell keeps its centroid (oracle COALESCE)
+        }
+      }
+    }
+    cents
+  }
+
   /** Top-k ANN: probe nProbe cells per query, rescore exactly, rank. */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
            nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
     topKWith(embeddings, queries, k, centroids(embeddings, nCells, seed), nProbe)
+
+  /** [[topK]] under [[lloydCentroidsQ]] cells — the fitted-IVF path
+    * that hash-gates end to end against [[lloydTopKOracle]].
+    */
+  def topKLloyd(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centsQ = lloydCentroidsQ(embeddings, nCells, iters)
+    val assigned = assignQ(embeddings, centsQ)
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val probes = probeCellsQ(queries, centsQ, nProbe)
+    val scored = probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
 
   /** [[topK]] with caller-supplied centroids (fitted or fixed). */
   def topKWith(embeddings: DataFrame, queries: DataFrame, k: Int,
@@ -168,7 +276,15 @@ object AnnIvf {
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
        |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe),
-       |cand AS (
+       |${rescoreSqlTail(k, candWhere)}""".stripMargin
+
+  /** The shared exact-rescore tail: `cand → dots → scored → ranked` over
+    * CTEs `probes(qid, cell)` / `assigned(cid, cell)` / `el` / `norms`
+    * the caller defines — identical in the fixed-centroid and Lloyd
+    * oracles by construction.
+    */
+  private def rescoreSqlTail(k: Int, candWhere: String): String =
+    s"""cand AS (
        |  SELECT p.qid, a.cid FROM probes p JOIN assigned a ON p.cell = a.cell
        |  WHERE a.cid <> p.qid AND ($candWhere)),
        |dots AS (
@@ -185,4 +301,61 @@ object AnnIvf {
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
        |  FROM scored)
        |SELECT qid, CAST(rank AS INT) AS rank, cid, cosine FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for [[topKLloyd]]: the Lloyd fit unrolled as a
+    * cent0..centT CTE chain (assign on the integer score grid, re-center
+    * with `(s - floorMod(s, n)) / n` — the same floor division
+    * `Math.floorDiv` computes engine-side; `%` follows the dividend in
+    * both engines, so the double-mod form is floorMod in both), then the
+    * shared assign/probe/rescore tail under the final centroids.
+    */
+  def lloydTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4,
+                      iters: Int = 3, candWhere: String = "TRUE"): String = {
+    val base =
+      s"""WITH ${VectorOps.oracleElems},
+         |cells0 AS (
+         |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
+         |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+         |cent0 AS (
+         |  SELECT c.cell, e.i, e.x AS c FROM cells0 c JOIN el e ON e.vec_id = c.cvec)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""csq$p AS (SELECT cell, CAST(SUM(c*c) AS BIGINT) AS csq FROM cent$p GROUP BY 1),
+         |dt$p AS (
+         |  SELECT e.vec_id, ce.cell, CAST(SUM(e.x * ce.c) AS BIGINT) AS dot
+         |  FROM el e JOIN cent$p ce ON ce.i = e.i GROUP BY 1, 2),
+         |asg$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |                         ORDER BY (q.csq - 2 * d.dot) ASC, d.cell ASC) AS rn
+         |    FROM dt$p d JOIN csq$p q ON d.cell = q.cell) WHERE rn = 1),
+         |newc$t AS (
+         |  SELECT a.cell, e.i, CAST(SUM(e.x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM el e JOIN asg$t a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |cent$t AS (
+         |  SELECT c.cell, c.i,
+         |    COALESCE((n.s - (((n.s % n.n) + n.n) % n.n)) // n.n, c.c) AS c
+         |  FROM cent$p c LEFT JOIN newc$t n ON n.cell = c.cell AND n.i = c.i)""".stripMargin
+    }
+    val finalScore =
+      s"""fsq AS (SELECT cell, CAST(SUM(c*c) AS BIGINT) AS csq FROM cent$iters GROUP BY 1),
+         |fdt AS (
+         |  SELECT e.vec_id, ce.cell, CAST(SUM(e.x * ce.c) AS BIGINT) AS dot
+         |  FROM el e JOIN cent$iters ce ON ce.i = e.i GROUP BY 1, 2),
+         |cellscore AS (
+         |  SELECT d.vec_id, d.cell, (q.csq - 2 * d.dot) AS score
+         |  FROM fdt d JOIN fsq q ON d.cell = q.cell),
+         |assigned AS (
+         |  SELECT vec_id AS cid, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+         |    FROM cellscore) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+         |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe)""".stripMargin
+    (Seq(base) ++ steps ++ Seq(finalScore, rescoreSqlTail(k, candWhere))).mkString(",\n")
+  }
 }

@@ -56,10 +56,15 @@ object BfsHops {
       .union(adj.select(col("dst").as("node")))
       .distinct()
 
+    // settled set and frontier both live as localCheckpoints (the
+    // DedupClusters/PageRank lifecycle): lineage stays truncated per
+    // round as before, and superseded rounds free on GC via the
+    // ContextCleaner instead of leaking CacheManager entries — which
+    // also closes the old swap-dance leak where an early-terminating
+    // run left the last frontier cached forever
     var dist = nodes.where(col("node") % seedMod === 0)
       .select(col("node"), lit(0L).as("hops"))
-      .cache()
-    dist.count()
+      .localCheckpoint(true)
     var frontier = dist
     var frontierEmpty = false
     for (k <- 1 to maxHops if !frontierEmpty) {
@@ -72,23 +77,19 @@ object BfsHops {
         .distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("hops"))
-        .cache()
+        .localCheckpoint(true)
       frontierEmpty = next.count() == 0
-      if (frontierEmpty) {
-        // nothing new reached: dist is already the fixed point — skip
-        // the dead union+cache+materialize pass on the terminating
-        // round (pure overhead; cold-path probe measured it at seconds,
-        // warm bench at ~2%)
-        next.unpersist()
-      } else {
-        val grown = dist.union(next).cache()
-        grown.count()
-        dist.unpersist()
-        if (k > 1) frontier.unpersist()
-        dist = grown
+      if (!frontierEmpty) {
+        // (when the frontier IS empty, dist is already the fixed point —
+        // skip the dead union+materialize pass on the terminating round:
+        // pure overhead, cold-path probe measured it at seconds)
+        dist = dist.union(next).localCheckpoint(true)
         frontier = next
       }
     }
+    // the settled set is checkpointed — nothing lazy reads the adjacency
+    // cache anymore; release it (CacheHygieneSpec pins this)
+    adj.unpersist()
     dist.orderBy(col("node"))
   }
 

@@ -39,6 +39,26 @@ object ContainmentJoin {
     *         doc_a is the CONTAINED side; the relation is asymmetric.
     */
   def pairs(documents: DataFrame, n: Int = 3, thresholdPct: Int = 80): DataFrame = {
+    val (result, g) = buildPairs(documents, n, thresholdPct)
+    // materialize the (small) pair set, then release the corpus-wide
+    // gram cache — the CorpusPipeline localCheckpoint-then-unpersist
+    // lifecycle (CacheHygieneSpec pins the empty cache manager)
+    val out = result.localCheckpoint(true)
+    g.unpersist()
+    out
+  }
+
+  /** The pre-materialization compute plan of [[pairs]] — what PlanSpec
+    * inspects (the public form checkpoints the result, which collapses
+    * the executed plan to an RDD scan). Leaves the gram cache
+    * registered; test-only.
+    */
+  private[graft] def pairsCompute(documents: DataFrame, n: Int = 3,
+                                  thresholdPct: Int = 80): DataFrame =
+    buildPairs(documents, n, thresholdPct)._1
+
+  private def buildPairs(documents: DataFrame, n: Int,
+                         thresholdPct: Int): (DataFrame, DataFrame) = {
     // cached: feeds the posting explode AND both verify sides
     val g = documents.select(col("doc_id"),
         array_sort(array_distinct(
@@ -58,7 +78,7 @@ object ContainmentJoin {
       .where(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    cand
+    val result = cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
         col("n_grams").as("n_grams_a")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
@@ -69,6 +89,7 @@ object ContainmentJoin {
       .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_inter"),
         expr("n_inter * 100 DIV n_grams_a").as("containment_pct"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (result, g)
   }
 
   /** DuckDB twin of [[pairs]]: same distinct word-gram sets (shared

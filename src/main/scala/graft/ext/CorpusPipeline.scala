@@ -31,16 +31,19 @@ object CorpusPipeline {
     * "spread a hot narrow input before expensive per-row compute" move,
     * paid once per pipeline.
     *
-    * LIFECYCLE: the returned frame is cached and NOT auto-released (its
-    * consumers are lazy). Long-lived sessions must `unpersist()` it when
-    * the derived results are materialized, or `spark.catalog.clearCache()`
-    * between pipelines. [[curate]]/[[curateFiltered]] manage their own
-    * caches and do not leak.
+    * LIFECYCLE: the materialization point is a LAZY `localCheckpoint`,
+    * not `.cache()` — same barrier (the RDD boundary stops Catalyst
+    * re-inlining computed-column predicates into the scan), same
+    * run-once materialization on first action, but the blocks are
+    * ContextCleaner-managed: they free when the frame is GC'd instead
+    * of registering a CacheManager entry the caller must remember to
+    * `unpersist()` (CacheHygieneSpec pins that every registry query
+    * built on this leaves the CacheManager empty).
     */
   def spreadText(documents: DataFrame): DataFrame =
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-      .cache()
+      .localCheckpoint()
 
   /** All per-row curation state in ONE text pass over the spread corpus:
     * stats/lang (one RegexCounts pass each) + MinHash signature + sorted

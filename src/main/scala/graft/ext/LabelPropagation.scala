@@ -56,7 +56,6 @@ object LabelPropagation {
     }
 
     var labels = nodes.select(col("node"), col("node").as("label"))
-    var prevCached: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val votes = adj
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -70,16 +69,19 @@ object LabelPropagation {
         .groupBy(col("dst"))
         .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
         .select(col("dst").as("node"), (-col("m.neg")).as("new_label"))
-      val next = labels
+      // superstep materialization as a localCheckpoint (the
+      // DedupClusters/PageRank lifecycle): lineage truncation as before,
+      // but the blocks are ContextCleaner-managed — superseded rounds
+      // free on GC instead of leaking CacheManager entries
+      labels = labels
         .join(picked, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .cache()
-      next.count()
-      prevCached.foreach(_.unpersist())
-      prevCached = if (i < iterations) Some(next) else None
-      labels = next
+        .localCheckpoint(true)
     }
+    // final labels are checkpointed — nothing lazy reads the adjacency
+    // cache anymore; release it (CacheHygieneSpec pins this)
+    adj.unpersist()
     labels.orderBy(col("node"))
   }
 

@@ -165,7 +165,15 @@ object MinHashDedup {
     val g = documents.select(
       col("doc_id"), graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .cache()   // joined twice (doc_a / doc_b sides)
-    verify(candidatePairs(documents, n, bucketCap), g, threshold)
+    // materialize the (small) verified pair set eagerly, then release
+    // the corpus-wide gram cache — returning a lazy plan over it leaked
+    // one gram cache per call into long-lived sessions (the
+    // CorpusPipeline localCheckpoint-then-unpersist lifecycle;
+    // CacheHygieneSpec pins the empty cache manager after d8)
+    val out = verify(candidatePairs(documents, n, bucketCap), g, threshold)
+      .localCheckpoint(true)
+    g.unpersist()
+    out
   }
 
   /** Per-doc dedup state in ONE text scan: the MinHash signature array

@@ -77,7 +77,7 @@ object NgramJaccard {
       col("grams").as("grams_a"), col("n_grams").as("na"))
     val b = g.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
       col("grams").as("grams_b"), col("n_grams").as("nb"))
-    a.join(b, Seq("lang", "len_bucket"))
+    val result = a.join(b, Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       // graft-native codegen'd merge scan over the pre-sorted gram arrays
@@ -87,6 +87,11 @@ object NgramJaccard {
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // materialize the (small) pair set, release the corpus-wide gram
+    // cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    val out = result.localCheckpoint(true)
+    g.unpersist()
+    out
   }
 
   /** [[pairs]] with a MinHash-band prefilter on the candidate set: a pair
@@ -128,7 +133,7 @@ object NgramJaccard {
       col("doc_id"), graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .cache()   // joined twice (doc_a / doc_b sides)
-    cand
+    val result = cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
         col("n_grams").as("na")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
@@ -140,6 +145,11 @@ object NgramJaccard {
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // materialize the (small) pair set, release the corpus-wide gram
+    // cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    val out = result.localCheckpoint(true)
+    g.unpersist()
+    out
   }
 
   /** DuckDB twin of [[pairsBanded]]: identical signatures, banding,

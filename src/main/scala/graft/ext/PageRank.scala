@@ -65,28 +65,31 @@ object PageRank {
     val teleport = (scale * 15L) / (100L * n)
 
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
-    var prevCached: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val inSum = withDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .selectExpr("dst", "rank DIV outdeg AS contrib")
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
-      val next = nodes
+      // materialize the superstep as a localCheckpoint: each iteration
+      // plans against a 2-column LogicalRDD instead of the whole history
+      // (the DedupClusters lineage-truncation lesson — a chained 5-deep
+      // join/agg/join plan re-optimizes and re-broadcasts every prior
+      // round's subtree), and unlike .cache() the blocks are
+      // ContextCleaner-managed: they free when the superseded frame is
+      // GC'd instead of leaking CacheManager entries in a long-lived
+      // session (cluster deployments use a reliable checkpoint dir)
+      rank = nodes
         .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .selectExpr("node",
           s"${teleport}L + (85 * coalesce(in_sum, 0L)) DIV 100 AS rank")
-        .cache()
-      // materialize the superstep: each iteration plans against a
-      // 2-column cached frame instead of the whole history (the
-      // DedupClusters lineage-truncation lesson — a chained 5-deep
-      // join/agg/join plan re-optimizes and re-broadcasts every prior
-      // round's subtree); the superseded frame is released immediately
-      next.count()
-      prevCached.foreach(_.unpersist())
-      prevCached = if (i < iterations) Some(next) else None
-      rank = next
+        .localCheckpoint(true)
     }
+    // the final ranks are checkpointed — nothing lazy reads the build
+    // caches anymore, so release them instead of leaking them into the
+    // caller's session (CacheHygieneSpec pins the empty cache manager)
+    withDeg.unpersist()
+    nodes.unpersist()
     rank.orderBy(col("rank").desc, col("node").asc).limit(topK)
   }
 

@@ -287,7 +287,13 @@ object TextStats {
     * in WordGramHashesSpec.
     */
   def hashedWordGramsCol(text: Column, n: Int): Column =
-    graft.functions.WordGramHashesExpr.of(text, n)
+    // coalesce pins NULL-text semantics to the relational twin's: the
+    // when/otherwise there yields [] for NULL text while a bare native
+    // expression (null-intolerant child) would yield NULL — unobservable
+    // at current call sites (explode and n_grams>0 guards treat them
+    // identically) but WordGramHashesSpec pins the parity exactly
+    coalesce(graft.functions.WordGramHashesExpr.of(text, n),
+      array().cast("array<bigint>"))
 
   /** The interpreted relational formulation of [[hashedWordGramsCol]] —
     * kept as the parity twin the spec replays against the native

@@ -38,18 +38,53 @@ object Triangles {
     * @return (node, n_triangles) for every node in ≥ 1 triangle,
     *         ordered by node id
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame): DataFrame = countUnd(undSimple(edges))
+
+  /** Degree-capped exact triangle counts — the 100×-scale companion to
+    * [[perNode]]. Exact wedge enumeration is O(m^1.5): the bound is
+    * tight exactly when the graph has a dense core (a near-clique of c
+    * nodes costs ~c³/4 wedges for c²/2 edges), and at web scale that
+    * core alone blows the wall-clock budget. This variant first drops
+    * every node whose simple-undirected degree exceeds `maxDegree`,
+    * then counts EXACTLY on the induced subgraph: wedge work is bounded
+    * by m·maxDegree — LINEAR in the edge count for a fixed cap, any
+    * skew — and the result is a well-defined deterministic semantics
+    * ("triangles among nodes of degree ≤ D", the standard
+    * degree-thresholding used before exact counting at scale), not a
+    * sampling estimate, so it hash-gates against a DuckDB replay of the
+    * same cap ([[perNodeCappedSqlTail]]). Hot-node triangle mass is the
+    * price, stated plainly: a node over the cap reports nothing.
+    */
+  def perNodeCapped(edges: DataFrame, maxDegree: Long = 128L): DataFrame = {
+    val und0 = undSimple(edges).cache()
+    val deg0 = und0
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val keep = deg0.where(col("deg") <= maxDegree).select(col("node"))
+    val capped = und0
+      .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    // countUnd materializes its result before returning, so nothing
+    // lazy reads und0 afterwards — release it (CacheHygieneSpec)
+    val out = countUnd(capped)
+    und0.unpersist()
+    out
+  }
+
+  private def undSimple(edges: DataFrame): DataFrame =
+    edges
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  private def countUnd(und0: DataFrame): DataFrame = {
     // und feeds deg TWICE (du and dv joins) plus the orientation join:
     // uncached, the whole edge-producing subtree (for the co-purchase
     // graph, a lineitem self-join) re-evaluates three times in the
     // executed plan (seen live: three BroadcastHashJoins on l_orderkey).
     // Cache both build frames, materialize the oriented list, release —
     // the PageRank one-pass lesson applied to the orientation build.
-    val und = edges
-      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .cache()
+    val und = und0.cache()
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -99,10 +134,20 @@ object Triangles {
     // a plan literal (the AnnIvf plan-constant license — Spark's own
     // runtime-filter aggregate is not in the public function registry,
     // and might_contain requires a foldable filter side).
+    // Size bound: at 1% FPP the serialized filter is ~1.2 MB per million
+    // oriented edges (m bits ≈ 9.6m at fpp 0.01), linear in m — fine to
+    // ~10^8 edges (~120 MB driver-side + literal). Past the cap the FPP
+    // relaxes instead of letting the literal grow unbounded: false
+    // positives only add shuffle bytes the exact join discards, so a
+    // laxer filter degrades the PRUNE, never correctness (at 10% fpp
+    // the filter is ~half the size and still drops ~90% of non-closing
+    // wedges). At genuinely web-scale edge counts the right form is a
+    // partitioned semi-join pre-filter instead of a driver literal.
+    val bloomFpp = if (m <= 100000000L) 0.01 else 0.10
     val tri = if (m == 0) wedges.limit(0)
       .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
     else {
-      val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+      val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, bloomFpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       val mightContain = {
@@ -115,9 +160,18 @@ object Triangles {
         .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
     }
 
-    tri.select(explode(array(col("src"), col("a"), col("b"))).as("node"))
+    // materialize the per-node counts (a localCheckpoint: blocks are
+    // ContextCleaner-managed, freed when the caller drops the frame),
+    // then release the oriented cache — the one build frame still held.
+    // Without this, every perNode() call leaked its oriented list into
+    // the caller's session (CacheHygieneSpec pins the empty manager).
+    val counts = tri
+      .select(explode(array(col("src"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
+      .localCheckpoint(true)
+    oriented.unpersist()
+    counts
   }
 
   /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends:
@@ -128,7 +182,33 @@ object Triangles {
     """und AS (
       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |  FROM edges WHERE src <> dst),
-      |t AS (
+      |""".stripMargin + tripleJoinSql
+
+  /** DuckDB twin of [[perNodeCapped]]: the same degree cap on the simple
+    * undirected graph, then the id-ordered triple join on the induced
+    * subgraph.
+    */
+  def perNodeCappedSqlTail(maxDegree: Long = 128L): String =
+    s"""und0 AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |cdeg AS (
+       |  SELECT node, count(*) AS deg
+       |  FROM (SELECT u AS node FROM und0 UNION ALL SELECT v FROM und0)
+       |  GROUP BY node),
+       |keep AS (SELECT node FROM cdeg WHERE deg <= $maxDegree),
+       |und AS (
+       |  SELECT e.u, e.v FROM und0 e
+       |  JOIN keep ku ON ku.node = e.u
+       |  JOIN keep kv ON kv.node = e.v),
+       |""".stripMargin + tripleJoinSql
+
+  /** Shared oracle core over a simple undirected CTE `und(u, v)`: each
+    * triangle enumerated once as an id-ordered triple, every corner
+    * credited.
+    */
+  private val tripleJoinSql: String =
+    """t AS (
       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |  FROM und e1 JOIN und e2 ON e1.v = e2.u
       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)

@@ -86,6 +86,42 @@ object Recommender {
     * fails pointing at the DATA, telling the reader to re-derive the
     * chance band the holdout gate asserts — not to suspect the model.
     */
+  /** Hit-rate@n with the user's TRAIN items filtered out of the
+    * recommendation list first — the eval form that can actually see
+    * generalization: an implicit-ALS model ranks the items it trained
+    * on highest, so when a user's train interactions outnumber `n` the
+    * unfiltered top-n is all train items and held-out hits are
+    * structurally impossible no matter how good the fit. Rank order
+    * comes from the model's own array position (top `candidatePool`
+    * per user, anti-join train, keep the first `n` surviving); the
+    * pool must exceed max-train-per-user + n or trailing users run out
+    * of candidates. MlSpec's falsifiability gate runs THIS metric on
+    * planted-structure data (where it must beat chance by multiples)
+    * and on label-shuffled data (where it must not).
+    */
+  def holdoutFilteredHitRateOf(ratings: DataFrame, n: Int = 5, seed: Long = 42L,
+                               trainPct: Int = 80, candidatePool: Int = 50): Double = {
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", col("user"), col("item")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(100L))
+    val withBucket = ratings.withColumn("bucket", bucket).cache()
+    val train = withBucket.filter(col("bucket") < trainPct).drop("bucket").cache()
+    val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
+    val model = als(seed).fit(train)
+    val ranked = model.recommendForAllUsers(candidatePool)
+      .select(col("user"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user"), col("pos"), col("rec.item").as("item"))
+      .join(train.select(col("user"), col("item")), Seq("user", "item"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("pos"))
+    val top = ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).select(col("user"), col("item"))
+    val hits = test.join(top, Seq("user", "item"), "left_semi").count()
+    val total = test.count()
+    train.unpersist(); withBucket.unpersist()
+    if (total == 0) 0.0 else hits.toDouble / total
+  }
+
   def holdoutMetricsOf(ratings: DataFrame, n: Int = 5,
                        seed: Long = 42L, trainPct: Int = 80): (Double, Double) = {
     val bucket = pmod(

@@ -322,15 +322,19 @@ object ExtensionQueries {
       }),
       Some(AnnLsh.topKOracle(5, 10))),
 
-    // IVF-cell ANN (second scale path). Rows-only BY NECESSITY: the cell
-    // centroids come from an iterative k-means fit, which ANSI SQL cannot
-    // replay; recall-vs-brute is asserted in ExtSpec instead.
+    // IVF-cell ANN (second scale path), FITTED cells — hash-gated end to
+    // end: the clustering fit is the deterministic integer-grid Lloyd
+    // (fixed iterations, init = smallest vec_ids), which the oracle
+    // replays as an unrolled cent0..centT CTE chain — the same
+    // make-the-fit-replayable move as PageRank/LabelPropagation, applied
+    // to k-means. (AnnIvf.topK keeps the ML KMeans fit as the
+    // statistically-stronger API; its recall floor is pinned in ExtSpec.)
     "s3_ann_ivf" -> (
       ((s: SparkSession, d: String) => {
         val e = Catalog(s, d).embeddings
-        AnnIvf.topK(e, e.filter(col("vec_id") < 10), 5)
+        AnnIvf.topKLloyd(e, e.filter(col("vec_id") < 10), 5)
       }),
-      None),
+      Some(AnnIvf.lloydTopKOracle(5, 10))),
 
     // recall@5 of LSH vs brute force, per query, both sides SQL-replayed
     "s4_ann_recall" -> (annLshRecall _, Some(annLshRecallOracle)),

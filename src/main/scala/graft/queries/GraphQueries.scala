@@ -56,6 +56,15 @@ object GraphQueries {
     // detection made engine-replayable)
     "g4_label_prop" -> (
       ((s: SparkSession, d: String) => LabelPropagation.communities(coPurchaseEdges(s, d))),
-      Some(s"WITH $coPurchaseEdgesSql,\n${LabelPropagation.communitiesSqlTail()}"))
+      Some(s"WITH $coPurchaseEdgesSql,\n${LabelPropagation.communitiesSqlTail()}")),
+
+    // degree-capped EXACT triangle counts (the 100x-scale posture for
+    // the one O(m^1.5) operator): drop nodes of degree > 128, count
+    // exactly on the induced subgraph — wedge work m*cap, linear in m
+    // for a fixed cap under any skew; deterministic semantics, so it
+    // hash-gates (no sampling estimate)
+    "g5_triangles_capped" -> (
+      ((s: SparkSession, d: String) => Triangles.perNodeCapped(coPurchaseEdges(s, d))),
+      Some(s"WITH $coPurchaseEdgesSql,\n${Triangles.perNodeCappedSqlTail()}"))
   )
 }

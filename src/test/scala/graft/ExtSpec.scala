@@ -59,6 +59,12 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(want.nonEmpty)
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
+    // the deterministic integer-grid Lloyd fit (the hash-gated s3 path)
+    // must hold the same recall floor as the ML k-means fit — hash-gating
+    // proves the fit replays, this proves the cells it finds are GOOD
+    val lloyd = pairs(AnnIvf.topKLloyd(e, q, 5))
+    val lloydRecall = lloyd.intersect(want).size.toDouble / want.size
+    assert(lloydRecall >= 0.3, s"Lloyd-IVF recall@5 = $lloydRecall")
   }
 
   test("PQ ANN: shortlist+rescore recall@5 vs brute force >= 0.5; encode is exchange-free") {

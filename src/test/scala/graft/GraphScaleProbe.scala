@@ -72,6 +72,29 @@ object GraphScaleProbe {
       time(s"g3_bfs_$tag") { BfsHops.hops(edges).count() }
       time(s"g4_labelprop_$tag") { LabelPropagation.communities(edges).count() }
       time(s"g2_triangles_$tag") { Triangles.perNode(edges).count() }
+      time(s"g5_capped_$tag") { Triangles.perNodeCapped(edges).count() }
+    }
+
+    // Dense-core probe — the regime where exact wedge enumeration's
+    // O(m^1.5) bound is TIGHT: embed a clique of c fresh nodes into the
+    // 1x graph (c²/2 extra edges but ~c³/4 extra wedges; at c=800
+    // that's ~3x the base graph's whole wedge stream for a 13% edge
+    // increase). Exact g2 must pay the cubic wedge cost; degree-capped
+    // g5 (cap 128 < c-1) drops the clique nodes and stays flat — the
+    // measured sub-m^1.5 argument for the capped variant.
+    for (c <- Seq(500, 800)) {
+      spark.catalog.clearCache(); System.gc()
+      val ids = spark.range(0, c).select((col("id") + 90000000L).as("n"))
+      val clique = ids.as("x").crossJoin(ids.as("y"))
+        .where(col("x.n") < col("y.n"))
+        .select(col("x.n").as("src"), col("y.n").as("dst"))
+      val densePath = s"$tmp/edges_clique$c.parquet"
+      spark.read.parquet(e1xPath).union(clique)
+        .write.mode("overwrite").parquet(densePath)
+      val edges = spark.read.parquet(densePath)
+      results += s"clique${c}_edges" -> edges.count()
+      time(s"g2_triangles_clique$c") { Triangles.perNode(edges).count() }
+      time(s"g5_capped_clique$c") { Triangles.perNodeCapped(edges).count() }
     }
 
     val json = results.map {

@@ -105,4 +105,55 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     ModelMetrics.write("MODEL_METRICS.json", collected.toMap)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get("MODEL_METRICS.json")))
   }
+
+  test("ALS eval harness is falsifiable: planted preference structure lifts " +
+      "holdout hit-rate far above chance, and shuffling the item labels kills it") {
+    // The testdata's baskets are structureless, so the chance-band gate
+    // above can only pin "not degenerate, no leakage". THIS test proves
+    // the eval pipeline (hash split + fit + hit-rate@5 + computed random
+    // baseline) DETECTS real preference signal when it exists, and stops
+    // detecting it when the user↔item association is destroyed — i.e.
+    // the gate is not vacuous: a broken eval (leaky split, wrong join,
+    // mis-joined baseline) fails one of these two directions.
+    import spark.implicits._
+    val nUsers = 120; val nItems = 80; val blocks = 4
+    def pct(u: Int, i: Int): Int =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"$u:$i"), 100)
+    // planted signal: user u prefers item block (u % 4) — 60% density
+    // in-block, 4% off-block; every inclusion decision is a fixed hash,
+    // so the dataset (and both fits below) is fully deterministic
+    val structured = for {
+      u <- 0 until nUsers; i <- 0 until nItems
+      if pct(u, i) < (if (i % blocks == u % blocks) 60 else 4)
+    } yield (u, i, 1.0f)
+    // label shuffle: permute the item column across rows with a fixed
+    // seed — both marginals survive, the user↔item association dies
+    val shuffled = structured
+      .zip(new scala.util.Random(7).shuffle(structured.map(_._2).toList))
+      .map { case ((u, _, r), i2) => (u, i2, r) }
+    // the TRAIN-FILTERED hit-rate (see holdoutFilteredHitRateOf): with
+    // ~12 train interactions per user, the unfiltered top-5 is all
+    // train items and held-out hits are structurally impossible — the
+    // filtered form is the one that can see generalization
+    def lift(rows: Seq[(Int, Int, Float)]): Double = {
+      val df = rows.toDF("user", "item", "rating")
+      Recommender.holdoutFilteredHitRateOf(df, 5) /
+        Recommender.randomHitRateBaselineOf(df, 5)
+    }
+    val plantedLift = lift(structured)
+    val shuffledLift = lift(shuffled)
+    collected += "als_planted_lift" -> plantedLift
+    collected += "als_shuffled_lift" -> shuffledLift
+    // re-emit the artifact so the two lift metrics land in it too (the
+    // write is idempotent; this test runs after the main ALS gate)
+    ModelMetrics.write("MODEL_METRICS.json", collected.toMap)
+    assert(plantedLift > 2.0,
+      s"planted-structure lift $plantedLift <= 2: the eval cannot detect real " +
+        "preference signal — hit-rate join, split, or baseline is broken")
+    assert(shuffledLift < 2.0,
+      s"shuffled-label lift $shuffledLift >= 2: chance-level data scored as " +
+        "signal — the holdout split is leaking train pairs into test")
+    assert(plantedLift > 2.0 * shuffledLift,
+      s"planted lift $plantedLift not clearly above shuffled lift $shuffledLift")
+  }
 }

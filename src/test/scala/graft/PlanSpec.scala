@@ -89,17 +89,20 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "bloom probe planned as a product")
   }
 
-  test("g1: supersteps materialize — final plan reads the cached ranks, top-K TakeOrdered") {
+  test("g1: supersteps materialize — final plan reads the checkpointed ranks, top-K TakeOrdered") {
     val p = plan("g1_pagerank")
     assert(p.contains("TakeOrderedAndProject"), "top-K ranks not planned as TakeOrdered")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+    // the final superstep is a localCheckpoint (ContextCleaner-managed;
+    // CacheHygieneSpec) — ranking must read the materialized RDD, never
+    // replan the whole superstep history
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"final superstep not materialized — ranking replans the whole history:\n$p")
     assert(!p.contains("CartesianProduct"), s"pagerank planned a cartesian:\n$p")
   }
 
-  test("g4: supersteps materialize — final plan reads the cached labels, no cartesian") {
+  test("g4: supersteps materialize — final plan reads the checkpointed labels, no cartesian") {
     val p = plan("g4_label_prop")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"final superstep not materialized — ordering replans the whole history:\n$p")
     assert(!p.contains("CartesianProduct"), s"label prop planned a cartesian:\n$p")
   }
@@ -155,8 +158,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
   test("d14: gram build is the native one-pass expression, not interpreted lambdas") {
     // the relational transform/md5 form re-splits the document per gram
     // inside a CodegenFallback lambda (it was 7.9 s of d14's sf0.1 cost);
-    // the shipped plan must carry the compiled expression instead
-    val p = plan("d14_containment")
+    // the shipped plan must carry the compiled expression instead.
+    // pairs() checkpoints its result (the executed plan the registry
+    // returns is an RDD scan), so the shape pin reads the
+    // pre-materialization compute plan:
+    val p = graft.ext.ContainmentJoin
+      .pairsCompute(core.Catalog(spark, sf).documents)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache() // pairsCompute leaves the gram cache registered
     assert(p.contains("word_gram_hashes"), s"native word-gram expression not in plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"containment join went cartesian:\n$p")
   }

@@ -22,7 +22,9 @@ class WordGramHashesSpec extends AnyFunSuite with SharedSpark {
     "multiple   spaces\tand\nnewlines between tokens",
     "dup dup dup dup dup",       // duplicate grams kept
     "unicode éè 中文 tokens mixed in text",
-    "trailing whitespace case \t\n")
+    "trailing whitespace case \t\n",
+    null)                        // NULL text -> [] (the relational twin's
+                                 // when/otherwise form; pinned below)
 
   test("native word-gram hashes == relational md5/conv formulation (edge cases)") {
     import spark.implicits._
@@ -33,8 +35,17 @@ class WordGramHashesSpec extends AnyFunSuite with SharedSpark {
       val want = df.select(TextStats.hashedWordGramsRelational(col("text"), n)).collect()
         .map(_.getSeq[Long](0))
       for (((g, w), t) <- got.zip(want).zip(edgeTexts))
-        assert(g == w, s"n=$n text='${t.take(30)}'")
+        assert(g == w, s"n=$n text='${Option(t).map(_.take(30)).getOrElse("<null>")}'")
     }
+  }
+
+  test("NULL text yields an empty array (not NULL) — matching the relational twin") {
+    import spark.implicits._
+    val row = Seq(Option.empty[String]).toDF("text")
+      .select(TextStats.hashedWordGramsCol(col("text"), 3).as("h"))
+      .head()
+    assert(!row.isNullAt(0), "hashedWordGramsCol returned NULL for NULL text")
+    assert(row.getSeq[Long](0).isEmpty)
   }
 
   test("native == relational on the real documents table") {
