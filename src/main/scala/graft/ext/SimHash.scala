@@ -248,8 +248,13 @@ object SimHash {
     val hamming = (0 until nBlocks)
       .map(i => bit_count(col(s"a_$i").bitwiseXOR(col(s"b_$i"))))
       .reduce(_ + _)
-    withInts.withColumn("hamming", hamming)
+    val result = withInts.withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // materialize the (small) pair set, release the corpus-wide
+    // fingerprint cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    val out = result.localCheckpoint(true)
+    fpInts.unpersist()
+    out
   }
 }

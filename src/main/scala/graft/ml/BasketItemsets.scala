@@ -27,7 +27,12 @@ object BasketItemsets {
   def frequentItemsets(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame = {
     val fp = new FPGrowth().setItemsCol("items")
       .setMinSupport(minSupport).setMinConfidence(0.1)
-    val model = fp.fit(baskets(lineitem).cache())
+    // the fit is eager and the model holds its own itemsets frame, so
+    // the basket cache releases as soon as training returns
+    // (CacheHygieneSpec pins the empty CacheManager)
+    val b = baskets(lineitem).cache()
+    val model = fp.fit(b)
+    b.unpersist()
     model.freqItemsets
       .select(array_join(sort_array(col("items")), ",").as("itemset"), col("freq"))
       .orderBy(col("freq").desc, col("itemset").asc)
@@ -83,7 +88,9 @@ object BasketItemsets {
                        minConfidence: Double = 0.1): DataFrame = {
     val fp = new FPGrowth().setItemsCol("items")
       .setMinSupport(minSupport).setMinConfidence(minConfidence)
-    val model = fp.fit(baskets(lineitem).cache())
+    val b = baskets(lineitem).cache()
+    val model = fp.fit(b)
+    b.unpersist()
     model.associationRules
       .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
       .select(

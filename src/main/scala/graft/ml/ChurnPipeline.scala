@@ -62,7 +62,8 @@ object ChurnPipeline {
     */
   def metrics(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val ex = examples(customer, orders, lineitem).cache()
-    val r = fitEvaluate(ex)
+    val r = fitEvaluate(ex) // eager: fit + AUC + counts all materialize here
+    ex.unpersist()
     val spark = customer.sparkSession
     import spark.implicits._
     Seq((r.auc, r.train, r.test)).toDF("auc", "n_train", "n_test")

@@ -59,6 +59,9 @@ object SegmentationPipeline {
       val wssse = model.stages.last.asInstanceOf[KMeansModel].summary.trainingCost
       Fitted(model, k, sil, wssse)
     }
+    // every fit/evaluate above is eager — release the feature cache
+    // instead of leaking it into the caller's session
+    cached.unpersist()
     fits.maxBy(f => (f.silhouette, -f.wssse))
   }
 

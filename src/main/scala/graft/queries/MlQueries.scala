@@ -51,11 +51,16 @@ object MlQueries {
         val loaded = graft.serve.Serving.loadModel(path)
         val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
         val re = loaded.transform(f).select(col("custkey"), col("prediction").as("p_loaded"))
-        mem.join(re, Seq("custkey"))
+        // one-row comparison result: materialize it, release the
+        // feature cache (CacheHygieneSpec pins the empty manager)
+        val out = mem.join(re, Seq("custkey"))
           .agg(
             count(lit(1)).as("n_scored"),
             sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)).as("n_mismatch"),
             countDistinct(col("p_loaded")).as("n_clusters"))
+          .localCheckpoint(true)
+        f.unpersist()
+        out
       }),
       None),
 

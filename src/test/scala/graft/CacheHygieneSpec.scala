@@ -32,7 +32,10 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     "d10_span_dedup",     // spreadText released at the registry
     "d11_span_removal",   // spreadText released at the registry
     "d12_incremental_dedup", // spreadText released at the registry
-    "d14_containment"     // ContainmentJoin gram cache
+    "d14_containment",    // ContainmentJoin gram cache
+    "d6_simhash_pairs",   // SimHash fingerprint cache
+    "ml_fpgrowth_pairs",  // FP-Growth basket cache released after fit
+    "ml_model_roundtrip"  // segmentation feature cache released
   )
 
   for (name <- queries)
