@@ -165,13 +165,21 @@ object Triangles {
     // then release the oriented cache — the one build frame still held.
     // Without this, every perNode() call leaked its oriented list into
     // the caller's session (CacheHygieneSpec pins the empty manager).
+    // The checkpoint takes the UNSORTED aggregate and the global sort is
+    // returned lazily OVER the checkpoint: checkpointing after the
+    // orderBy forced the range-partitioned sort — and its range-boundary
+    // sampling pass, which re-executes the whole final wedge-join stage —
+    // inside the operator, measured at 1.4× the whole query's cost at
+    // 24M edges (ProbeG2AB: 109–129 s vs 79–83 s). A caller that only
+    // counts or joins skips the sort entirely (as before the cache-release
+    // contract); a caller that writes ordered output sorts 1 row per node,
+    // never the wedge stream.
     val counts = tri
       .select(explode(array(col("src"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("node"))
       .localCheckpoint(true)
     oriented.unpersist()
-    counts
+    counts.orderBy(col("node"))
   }
 
   /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends:

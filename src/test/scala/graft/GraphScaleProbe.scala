@@ -53,6 +53,14 @@ object GraphScaleProbe {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     def time(name: String)(f: => Long): Unit = {
+      // per-measurement hygiene (the Bench idiom): the previous
+      // measurement's shuffle files and broadcast blocks are reclaimed
+      // by the ContextCleaner only on GC, and without the reset that
+      // cleanup lands inside the NEXT measurement's window — the first
+      // probe run recorded g5_capped_clique800 at 20.6 s purely because
+      // it followed g2's 45 s wedge blowout (identical induced subgraph
+      // to the 5.4 s base case, as its row count proved)
+      spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -93,8 +101,11 @@ object GraphScaleProbe {
         .write.mode("overwrite").parquet(densePath)
       val edges = spark.read.parquet(densePath)
       results += s"clique${c}_edges" -> edges.count()
-      time(s"g2_triangles_clique$c") { Triangles.perNode(edges).count() }
+      // g5 FIRST: measured after g2, the capped run would inherit the
+      // tail of g2's cubic wedge cleanup even with the per-measurement
+      // hygiene (a 45 s predecessor leaves more than one GC reclaims)
       time(s"g5_capped_clique$c") { Triangles.perNodeCapped(edges).count() }
+      time(s"g2_triangles_clique$c") { Triangles.perNode(edges).count() }
     }
 
     val json = results.map {
