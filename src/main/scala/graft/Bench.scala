@@ -104,7 +104,13 @@ object Bench {
     // slow MIN with quiet load is a regression, a slow min with one slow
     // run or climbing load is the machine
     val runsDetail = results.map { case (k, _, _, ts, _) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      // Locale.ROOT: the default-locale f"" interpolator writes a comma
+      // decimal separator under comma-decimal locales, corrupting the
+      // JSON line (every other number here is Double.toString, which is
+      // locale-independent)
+      "\"" + k + "\":[" +
+        ts.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+          .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, _, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")

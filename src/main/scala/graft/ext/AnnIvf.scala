@@ -185,18 +185,24 @@ object AnnIvf {
       .orderBy(col("vec_id")).limit(maxFitVectors.toInt)
       .select(col("embedding")).as[Array[Float]].collect()
       .map(_.map(x => math.floor(x.toDouble * grid).toLong))
+    // a corpus smaller than nCells seeds fewer cells (the oracle's
+    // LIMIT nCells likewise just yields fewer) — every loop below bounds
+    // on cents.length, never the requested nCells, so a 10-vector corpus
+    // with the default 16 cells fits 10 cells instead of indexing past
+    // the seed array
     var cents: Array[Array[Long]] = data.take(nCells).map(_.clone())
+    val k = cents.length
     val dims = if (data.isEmpty) 0 else data(0).length
     for (_ <- 1 to iters) {
       val c2 = cents.map(c => { var s = 0L; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
-      val sums = Array.fill(nCells)(new Array[Long](dims))
-      val cnt = new Array[Long](nCells)
+      val sums = Array.fill(k)(new Array[Long](dims))
+      val cnt = new Array[Long](k)
       data.foreach { v =>
         // argmin of |c|^2 - 2 v*c with strict < : ties keep the LOWER
         // cell (the oracle's ORDER BY score ASC, cell ASC rn=1)
         var best = 0; var bestScore = Long.MaxValue
         var c = 0
-        while (c < nCells) {
+        while (c < k) {
           var dot = 0L; var i = 0
           val cc = cents(c)
           while (i < dims) { dot += v(i) * cc(i); i += 1 }
@@ -331,19 +337,27 @@ object AnnIvf {
     */
   def lloydTopKOracle(k: Int, maxQid: Long, nCells: Int = 16, nProbe: Int = 4,
                       iters: Int = 3, candWhere: String = "TRUE"): String = {
+    // the fit CTEs run over `fel` — the [[maxFitVectors]] SMALLEST
+    // vec_ids, the exact subset [[lloydCentroidsQ]] collects — so the
+    // gate stays correct on a corpus larger than the cap (fitting the
+    // oracle on ALL rows would silently diverge from the engine there);
+    // the final assign/probe/rescore phase scans the full `el`, like the
+    // engine's assignQ/probeCellsQ
     val base =
       s"""WITH ${VectorOps.oracleElems},
+         |fids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $maxFitVectors),
+         |fel AS (SELECT e.* FROM el e JOIN fids f ON f.vec_id = e.vec_id),
          |cells0 AS (
          |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
          |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
          |cent0 AS (
-         |  SELECT c.cell, e.i, e.x AS c FROM cells0 c JOIN el e ON e.vec_id = c.cvec)""".stripMargin
+         |  SELECT c.cell, e.i, e.x AS c FROM cells0 c JOIN fel e ON e.vec_id = c.cvec)""".stripMargin
     val steps = (1 to iters).map { t =>
       val p = t - 1
       s"""csq$p AS (SELECT cell, CAST(SUM(c*c) AS BIGINT) AS csq FROM cent$p GROUP BY 1),
          |dt$p AS (
          |  SELECT e.vec_id, ce.cell, CAST(SUM(e.x * ce.c) AS BIGINT) AS dot
-         |  FROM el e JOIN cent$p ce ON ce.i = e.i GROUP BY 1, 2),
+         |  FROM fel e JOIN cent$p ce ON ce.i = e.i GROUP BY 1, 2),
          |asg$t AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT d.vec_id, d.cell,
@@ -352,7 +366,7 @@ object AnnIvf {
          |    FROM dt$p d JOIN csq$p q ON d.cell = q.cell) WHERE rn = 1),
          |newc$t AS (
          |  SELECT a.cell, e.i, CAST(SUM(e.x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-         |  FROM el e JOIN asg$t a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |  FROM fel e JOIN asg$t a ON a.vec_id = e.vec_id GROUP BY 1, 2),
          |cent$t AS (
          |  SELECT c.cell, c.i,
          |    COALESCE((n.s - (((n.s % n.n) + n.n) % n.n)) // n.n, c.c) AS c

@@ -42,10 +42,14 @@ object ContainmentJoin {
     val (result, g) = buildPairs(documents, n, thresholdPct)
     // materialize the (small) pair set, then release the corpus-wide
     // gram cache — the CorpusPipeline localCheckpoint-then-unpersist
-    // lifecycle (CacheHygieneSpec pins the empty cache manager)
+    // lifecycle (CacheHygieneSpec pins the empty cache manager). The
+    // checkpoint takes the UNSORTED pair set and the (doc_a, doc_b)
+    // ordering is applied lazily OVER it: eagerly checkpointing after
+    // the sort forced the range-boundary sampling pass to re-execute
+    // the verify-join stage — the Triangles.countUnd lesson.
     val out = result.localCheckpoint(true)
     g.unpersist()
-    out
+    out.orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The pre-materialization compute plan of [[pairs]] — what PlanSpec
@@ -88,7 +92,6 @@ object ContainmentJoin {
       .where(col("n_inter") * 100 >= col("n_grams_a") * thresholdPct)
       .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_inter"),
         expr("n_inter * 100 DIV n_grams_a").as("containment_pct"))
-      .orderBy(col("doc_a"), col("doc_b"))
     (result, g)
   }
 

@@ -43,7 +43,13 @@ object CorpusPipeline {
   def spreadText(documents: DataFrame): DataFrame =
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      // eager = false: the no-arg overload is EAGER and would run the
+      // corpus scan + shuffle at DataFrame-CONSTRUCTION time — a plan
+      // built then discarded (PlanSpec printing d10/d11, a registry
+      // query composed but not run) paid a full corpus job for nothing.
+      // The lazy form is the same Catalyst barrier (the plan is a
+      // LogicalRDD either way); materialization waits for first action.
+      .localCheckpoint(eager = false)
 
   /** All per-row curation state in ONE text pass over the spread corpus:
     * stats/lang (one RegexCounts pass each) + MinHash signature + sorted
