@@ -67,6 +67,22 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(lloydRecall >= 0.3, s"Lloyd-IVF recall@5 = $lloydRecall")
   }
 
+  test("Lloyd fit: a corpus smaller than nCells fits fewer cells and stays exact") {
+    // 5 vectors, 16 requested cells: the fit must seed 5 cells (never
+    // index past the seed array), and with nProbe covering every cell
+    // the IVF path degenerates to exact brute force
+    val tiny = (0L until 5L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 11f)))
+      .toDF("vec_id", "embedding")
+    val cents = AnnIvf.lloydCentroidsQ(tiny, nCells = 16)
+    assert(cents.length == 5, s"expected 5 cells, got ${cents.length}")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val got = pairs(AnnIvf.topKLloyd(tiny, tiny, k = 4, nCells = 16, nProbe = 16))
+    val want = pairs(graft.queries.ExtensionQueries.bruteTopK(tiny, tiny, 4))
+    assert(got == want, s"tiny-corpus Lloyd IVF diverged from brute force: $got vs $want")
+  }
+
   test("PQ ANN: shortlist+rescore recall@5 vs brute force >= 0.5; encode is exchange-free") {
     val e = Catalog(spark, sf).embeddings.cache()
     val q = e.filter(col("vec_id") < 10)
