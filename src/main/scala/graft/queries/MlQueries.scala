@@ -22,6 +22,19 @@ object MlQueries {
       }),
       None),
 
+    // M1-M5 hash-gated twin: the same RFM feature frame under a
+    // deterministic integer-grid Lloyd fit (max-abs standardization,
+    // smallest-custkey init, floor-div re-centering) that DuckDB
+    // replays as an unrolled CTE chain — the s5/s3 pattern applied to
+    // the segmentation fit; the auto-K silhouette pipeline above stays
+    // the product path and the argued no_oracle posture
+    "ml_kmeans_lloyd" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        SegmentationLloyd.segments(c.customer, c.orders)
+      }),
+      Some(SegmentationLloyd.oracle())),
+
     // M6-M10: indexer/OHE/assembler/scaler/RF + AUC
     "ml_churn_rf" -> (
       ((s: SparkSession, d: String) => {

@@ -35,7 +35,8 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     "d14_containment",    // ContainmentJoin gram cache
     "d6_simhash_pairs",   // SimHash fingerprint cache
     "ml_fpgrowth_pairs",  // FP-Growth basket cache released after fit
-    "ml_model_roundtrip"  // segmentation feature cache released
+    "ml_model_roundtrip", // segmentation feature cache released
+    "ml_kmeans_lloyd"     // SegmentationLloyd quantized-feature cache
   )
 
   for (name <- queries)

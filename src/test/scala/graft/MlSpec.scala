@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Catalog
 import graft.ml._
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ML quality gates: deterministic fits with pinned seeds, metrics within
@@ -29,6 +30,27 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     assert(best.silhouette > 0.44 && best.silhouette < 0.55,
       s"silhouette ${best.silhouette} outside [0.44, 0.55] (measured 0.494)")
     assert(best.wssse > 0.0)
+  }
+
+  test("Lloyd segmentation twin: k live clusters, deterministic, tiny corpus seeds fewer") {
+    val c = Catalog(spark, sf)
+    val a = SegmentationLloyd.segments(c.customer, c.orders).collect()
+    val nCustomers = c.customer.count()
+    assert(a.length == nCustomers, s"one row per customer: ${a.length} vs $nCustomers")
+    val sizes = a.groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"expected 4 live clusters, got ${sizes.keySet}")
+    // no degenerate cluster: the max-abs standardization must keep all
+    // four features in play (measured split at sf0.01: 268/406/481/345)
+    assert(sizes.values.min >= nCustomers / 20,
+      s"degenerate cluster in $sizes (floor ${nCustomers / 20})")
+    // bit-determinism across a re-run (fit + assignment are integer)
+    val b = SegmentationLloyd.segments(c.customer, c.orders).collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    // corpus smaller than k: seeds bound on the actual row count
+    val tiny = c.customer.orderBy(col("c_custkey")).limit(2)
+    val t = SegmentationLloyd.segments(tiny, c.orders).collect()
+    assert(t.length == 2 && t.map(_.getAs[Int]("cluster")).toSet.subsetOf(Set(0, 1)))
   }
 
   test("churn RF trains with AUC in band and an exact split") {
