@@ -233,6 +233,7 @@ object AnnIvf {
   def topKLloyd(embeddings: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val centsQ = lloydCentroidsQ(embeddings, nCells, iters)
+    if (centsQ.isEmpty) return emptyTopK(queries)
     val assigned = assignQ(embeddings, centsQ)
       .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
@@ -250,8 +251,18 @@ object AnnIvf {
   }
 
   /** [[topK]] with caller-supplied centroids (fitted or fixed). */
+  /** The operator's normal (qid, rank, cid, cosine) shape with zero
+    * rows — what every IVF path returns when an empty corpus seeded
+    * zero cells (`array_min` over an empty centroid array would
+    * otherwise fail analysis).
+    */
+  private def emptyTopK(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"), lit(1).as("rank"),
+      col("vec_id").as("cid"), lit(0.0).as("cosine")).limit(0)
+
   def topKWith(embeddings: DataFrame, queries: DataFrame, k: Int,
                cents: Array[Vector], nProbe: Int = 4): DataFrame = {
+    if (cents.isEmpty) return emptyTopK(queries)
     val assigned = assign(embeddings, cents)
       .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))

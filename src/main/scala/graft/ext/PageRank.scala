@@ -62,6 +62,15 @@ object PageRank {
     // scalar joins from the superstep plans; the arithmetic is the same
     // Long floor division the oracle's nn CTE performs.
     val n = nodes.count()
+    if (n == 0L) {
+      // empty edge list: release the build caches and return the
+      // operator's normal (node, rank) shape with zero rows — an
+      // upstream filter matching nothing must not kill the pipeline
+      val empty = nodes.select(col("node"), lit(0L).as("rank"))
+      withDeg.unpersist()
+      nodes.unpersist()
+      return empty
+    }
     val teleport = (scale * 15L) / (100L * n)
 
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))

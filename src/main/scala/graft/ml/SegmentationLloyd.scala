@@ -120,6 +120,11 @@ object SegmentationLloyd {
     * lexicographic ordering = min score, ties to the lower cluster.
     */
   def assign(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    // an empty corpus seeds zero centroids — return the operator's
+    // normal (custkey, cluster) shape with zero rows instead of
+    // planning array_min over an empty literal array
+    if (cents.isEmpty)
+      return q.select(col("custkey"), lit(0).as("cluster")).limit(0)
     def sq(c: org.apache.spark.sql.Column) = c * c
     val scored = array(cents.toIndexedSeq.zipWithIndex.map { case (ct, i) =>
       struct(

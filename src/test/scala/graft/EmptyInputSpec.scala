@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zero-row inputs are routine at pipeline scale — an upstream filter
+  * that matches nothing, a partition with no late events, a fresh
+  * incremental batch. Every multi-pass operator must return an EMPTY
+  * result (with its normal schema) instead of throwing on a driver-side
+  * `.head`/`collect()(0)`/seed-array access.
+  *
+  * Each case runs the operator on a schema-correct empty frame and
+  * asserts count == 0 — which also proves the full plan executes.
+  */
+class EmptyInputSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def edges0: DataFrame =
+    Seq.empty[(Long, Long)].toDF("src", "dst")
+  private def docs0: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emb0: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("graph family returns empty on an empty edge list") {
+    assert(ext.PageRank.ranks(edges0).count() == 0L)
+    assert(ext.Triangles.perNode(edges0).count() == 0L)
+    assert(ext.Triangles.perNodeCapped(edges0).count() == 0L)
+    assert(ext.BfsHops.hops(edges0).count() == 0L)
+    assert(ext.LabelPropagation.communities(edges0).count() == 0L)
+  }
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(ext.ExactDedup.dedup(docs0).count() == 0L)
+    assert(ext.MinHashDedup.verifiedPairs(docs0).count() == 0L)
+    assert(ext.SimHash.pairs(docs0).count() == 0L)
+    assert(ext.DedupClusters.clusters(docs0,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0L)
+  }
+
+  test("ANN family returns empty on an empty corpus") {
+    assert(graft.queries.ExtensionQueries.bruteTopK(emb0, emb0, 5).count() == 0L)
+    assert(ext.AnnLsh.topK(emb0, emb0, 5).count() == 0L)
+    assert(ext.AnnIvf.topKLloyd(emb0, emb0, 5).count() == 0L)
+  }
+
+  test("segmentation Lloyd returns empty on an empty customer table") {
+    val customer0 = Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")
+    val orders0 = Seq.empty[(Long, Long, Double, java.sql.Date)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    assert(ml.SegmentationLloyd.segments(customer0, orders0).count() == 0L)
+  }
+}
