@@ -44,6 +44,43 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
     assert(ext.AnnIvf.topKLloyd(emb0, emb0, 5).count() == 0L)
   }
 
+  test("span/similarity-join family returns empty on an empty corpus") {
+    assert(ext.SpanDedup.spanPairs(docs0).count() == 0L)
+    assert(ext.SpanDedup.removeSpans(docs0).count() == 0L)
+    assert(ext.ContainmentJoin.pairs(docs0).count() == 0L)
+    assert(ext.FuzzyJoin.editDistancePairs(docs0).count() == 0L)
+    // pairsBanded blocks on (lang, n_chars-derived len_bucket) — its
+    // contract includes the documents table's lang/n_chars columns
+    assert(ext.NgramJaccard.pairsBanded(
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "n_chars")).count() == 0L)
+    assert(ext.Decontaminate.flags(docs0, docs0).count() == 0L)
+  }
+
+  test("corpus curation returns empty on an empty documents frame") {
+    val documents0 = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(ext.CorpusPipeline.curate(documents0).count() == 0L)
+  }
+
+  test("PQ fit fails LOUDLY on a corpus smaller than nCodes; encode of an " +
+    "empty shard under a valid codebook is fine") {
+    // no well-defined smaller-corpus semantics exists for a PQ codebook
+    // (the subspace split needs the dimension, the code count is the
+    // compression contract) — so unlike the Lloyd fits, the fit must
+    // fail with a clear message, not degrade
+    val e = intercept[IllegalArgumentException] { ext.AnnPq.fixedCodebooks(emb0) }
+    assert(e.getMessage.contains("corpus smaller than nCodes"))
+    // encoding an empty SHARD under a codebook fit elsewhere is the
+    // routine case and must return zero rows with the codes schema
+    val corpus = (0L until 16L)
+      .map(i => (i, Array.tabulate(64)(d => ((i * 5 + d) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val cb = ext.AnnPq.fixedCodebooks(corpus)
+    assert(ext.AnnPq.encode(emb0, cb).count() == 0L)
+    assert(ext.AnnPq.topK(emb0, emb0, 5, cb).count() == 0L)
+  }
+
   test("segmentation Lloyd returns empty on an empty customer table") {
     val customer0 = Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")
     val orders0 = Seq.empty[(Long, Long, Double, java.sql.Date)]
