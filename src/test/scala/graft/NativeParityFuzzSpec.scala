@@ -84,6 +84,18 @@ class NativeParityFuzzSpec extends AnyFunSuite with SharedSpark {
     assert(native == relational)
   }
 
+  test("RegexCounts == size(regexp_extract_all) on adversarial text") {
+    val patterns = Seq("\\S+", TextStats.bpeishPattern, "[0-9]+", "\\p{Punct}")
+    val c = graft.functions.RegexCounts.of(col("text"), patterns).as("counts")
+    val builtins = patterns.zipWithIndex.map { case (p, i) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"b_$i")
+    }
+    val cmp = docs.select(c +: builtins: _*)
+    val bad = patterns.indices
+      .map(i => cmp.filter(element_at(col("counts"), i + 1) =!= col(s"b_$i")).count())
+    assert(bad.forall(_ == 0L), s"per-pattern mismatches: $bad")
+  }
+
   test("WordGramHashes == relational split/md5 formulation on adversarial text") {
     for (n <- Seq(2, 3)) {
       val cmp = docs.select(
