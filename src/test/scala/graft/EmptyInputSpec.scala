@@ -23,11 +23,15 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
     Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
 
   test("graph family returns empty on an empty edge list") {
+    spark.catalog.clearCache()
     assert(ext.PageRank.ranks(edges0).count() == 0L)
     assert(ext.Triangles.perNode(edges0).count() == 0L)
     assert(ext.Triangles.perNodeCapped(edges0).count() == 0L)
     assert(ext.BfsHops.hops(edges0).count() == 0L)
     assert(ext.LabelPropagation.communities(edges0).count() == 0L)
+    // the early-return paths honor the cache-release contract too
+    assert(org.apache.spark.sql.GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "an empty-input early return leaked a build cache")
   }
 
   test("dedup family returns empty on an empty corpus") {
