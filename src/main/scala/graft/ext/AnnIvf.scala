@@ -184,7 +184,7 @@ object AnnIvf {
     val data: Array[Array[Long]] = embeddings
       .orderBy(col("vec_id")).limit(maxFitVectors.toInt)
       .select(col("embedding")).as[Array[Float]].collect()
-      .map(_.map(x => math.floor(x.toDouble * grid).toLong))
+      .map(_.map(x => graft.functions.QuantizedDot.quantize(x.toDouble)))
     // a corpus smaller than nCells seeds fewer cells (the oracle's
     // LIMIT nCells likewise just yields fewer) — every loop below bounds
     // on cents.length, never the requested nCells, so a 10-vector corpus
@@ -240,6 +240,7 @@ object AnnIvf {
     val probes = probeCellsQ(queries, centsQ, nProbe)
     val scored = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("cid"))
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
@@ -269,6 +270,7 @@ object AnnIvf {
     val probes = probeCells(queries, cents, nProbe)
     val scored = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("cid"))
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
@@ -332,7 +334,8 @@ object AnnIvf {
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |ranked AS (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank

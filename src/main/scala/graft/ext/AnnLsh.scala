@@ -113,6 +113,7 @@ object AnnLsh {
     val c2 = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("cn"))
     val scored = sym.join(broadcast(q), "qid").join(c2, "cid")
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
@@ -171,7 +172,8 @@ object AnnLsh {
        |  GROUP BY 1, 2),
        |lscored AS (
        |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-       |  FROM ldots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |  FROM ldots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |lranked AS (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank

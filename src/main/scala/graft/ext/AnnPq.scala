@@ -54,7 +54,7 @@ object AnnPq {
   }
 
   private def quantL(x: Float): Long =
-    math.floor(x.toDouble * graft.functions.QuantizedDot.Grid).toLong
+    graft.functions.QuantizedDot.quantize(x.toDouble)
 
   /** Subspace-`m` slice of a vector column (`slice` is 1-based). */
   private def sub(v: Column, m: Int, dsub: Int): Column = slice(v, m * dsub + 1, dsub)
@@ -148,6 +148,7 @@ object AnnPq {
       col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"))
     cand.join(broadcast(qv), "qid")
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wExact))
@@ -204,6 +205,7 @@ object AnnPq {
       col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"))
     cand.join(broadcast(qv), "qid")
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wExact))
@@ -259,7 +261,8 @@ object AnnPq {
        |  FROM shortlist t
        |  JOIN dots d ON t.qid = d.qid AND t.cid = d.cid
        |  JOIN norms na ON t.qid = na.vec_id
-       |  JOIN norms nb ON t.cid = nb.vec_id),
+       |  JOIN norms nb ON t.cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |final AS (
        |  SELECT qid, cid, adc, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
@@ -346,7 +349,8 @@ object AnnPq {
        |  FROM shortlist t
        |  JOIN dots d ON t.qid = d.qid AND t.cid = d.cid
        |  JOIN norms na ON t.qid = na.vec_id
-       |  JOIN norms nb ON t.cid = nb.vec_id),
+       |  JOIN norms nb ON t.cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |final AS (
        |  SELECT qid, cid, adc, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank

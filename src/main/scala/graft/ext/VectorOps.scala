@@ -42,6 +42,19 @@ object VectorOps {
     */
   def dotQ(a: Column, b: Column): Column = graft.functions.QuantizedDot.of(a, b)
 
+  /** Guard for the cosine divisions: a vector whose quantized norm is
+    * zero (all-zero embedding, or NaN components — `floor(NaN·Grid)`
+    * quantizes to 0) or NaN (±Inf components overflow the integer dot;
+    * sqrt of the wrapped negative is NaN) has no defined cosine and
+    * must be EXCLUDED before the divide — under ANSI mode a single such
+    * corrupted vector otherwise kills the whole job with DIVIDE_BY_ZERO.
+    * The explicit `isnan` matters: Spark orders NaN above every value,
+    * so `nrm > 0` alone would PASS a NaN norm. The DuckDB twins carry
+    * the value-equivalent `n2 > 0` on their integer squared norms (no
+    * NaN exists on that side).
+    */
+  def validNorm(nrm: Column): Column = !isnan(nrm) && (nrm > 0.0)
+
   /** Cosine similarity on the quantized grid; the final sqrt/divide are
     * single IEEE double ops (deterministic).
     */
@@ -83,6 +96,7 @@ object VectorOps {
       // same-block buckets see both orientations (keep id_a < id_b);
       // cross-block buckets see each pair once, possibly id-reversed
       .filter((col("bi") < col("bj")) || (col("id_a") < col("id_b")))
+      .filter(validNorm(col("na")) && validNorm(col("nb")))
       .withColumn("cosine",
         dotQ(col("va"), col("vb")).cast(DoubleType) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

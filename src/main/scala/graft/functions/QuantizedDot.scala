@@ -67,7 +67,7 @@ case class QuantizedDot(left: Expression, right: Expression)
         throw new IllegalArgumentException(s"quantized_dot: null element at index $i")
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += math.floor(xv * QuantizedDot.Grid).toLong * math.floor(yv * QuantizedDot.Grid).toLong
+      acc += QuantizedDot.quantize(xv) * QuantizedDot.quantize(yv)
       i += 1
     }
     acc
@@ -91,8 +91,8 @@ case class QuantizedDot(left: Expression, right: Expression)
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    throw new IllegalArgumentException("quantized_dot: null element at index " + $i);
          |  }
-         |  final long $xa = (long) java.lang.Math.floor((${get(a, left, i)}) * ${QuantizedDot.Grid}D);
-         |  final long $xb = (long) java.lang.Math.floor((${get(b, right, i)}) * ${QuantizedDot.Grid}D);
+         |  final long $xa = graft.functions.QuantizedDot.quantize(${get(a, left, i)});
+         |  final long $xb = graft.functions.QuantizedDot.quantize(${get(b, right, i)});
          |  $acc += $xa * $xb;
          |}
          |${ev.value} = $acc;
@@ -110,6 +110,33 @@ object QuantizedDot {
     * from this one constant so they cannot silently diverge.
     */
   val Grid: Double = 1e7
+
+  /** Saturation bound on the quantized value: |q| <= 10^8 (|x| <= 10 on
+    * the grid — far beyond any normalized embedding) keeps every
+    * accumulated product within long range (dims * QMax^2 = 64 * 10^16
+    * << 2^63), so a huge component can never wrap the accumulator or
+    * trip an ANSI overflow downstream (the scoring plans multiply dots
+    * by plan constants with Spark's ANSI `Multiply`).
+    */
+  val QMax: Long = 100000000L
+
+  /** THE quantization function (both eval paths and the Scala-side
+    * codebook/centroid builders call this): non-finite components
+    * contribute NOTHING (NaN/±Inf -> 0 — an all-corrupt vector then has
+    * zero norm and is excluded from scoring by
+    * [[graft.ext.VectorOps.validNorm]]; a partly-corrupt one scores on
+    * its finite components), finite components floor onto the grid and
+    * saturate at ±[[QMax]]. In-range data (|x| < 10, i.e. every real
+    * embedding) is untouched — the DuckDB oracles' plain
+    * `floor(x * Grid)` stays bit-identical there.
+    */
+  def quantize(x: Double): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return 0L
+    val y = math.floor(x * Grid)
+    if (y >= QMax.toDouble) QMax
+    else if (y <= -QMax.toDouble) -QMax
+    else y.toLong
+  }
 
   /** Column-API entry point (Spark 4 classic Column<->Expression bridge). */
   def of(a: Column, b: Column): Column = {

@@ -27,6 +27,7 @@ object ExtensionQueries {
     val c = withNorm(embeddings, "cid", "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
+      .filter(VectorOps.validNorm(col("qn")) && VectorOps.validNorm(col("cn")))
       .withColumn("cosine",
         VectorOps.dotQ(col("qv"), col("cv")).cast(DoubleType) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
@@ -48,7 +49,8 @@ object ExtensionQueries {
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |ranked AS (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
@@ -81,7 +83,8 @@ object ExtensionQueries {
        |  GROUP BY 1, 2),
        |bscored AS (
        |  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-       |  FROM bdots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |  FROM bdots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0),
        |branked AS (
        |  SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
@@ -186,7 +189,8 @@ object ExtensionQueries {
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
        |FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
-       |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin
+       |WHERE na.n2 > 0 AND nb.n2 > 0
+       |  AND dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin
 
   def registry: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
 
