@@ -61,7 +61,11 @@ object AnnIvf {
     array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cf = c.toArray.map(_.toFloat)
       val c2 = cf.map { x =>
-        val q = math.floor(x.toDouble * graft.functions.QuantizedDot.Grid).toLong
+        // the saturating quantizer (not a bare floor): a KMeans centroid
+        // fit on corrupt data could carry a non-finite mean, and the
+        // unclamped floor would wrap q*q — quantize() clamps Inf and
+        // zeroes NaN, matching dotQ's quantization of the same centroid
+        val q = graft.functions.QuantizedDot.quantize(x.toDouble)
         q * q
       }.sum
       struct(

@@ -38,7 +38,18 @@ object Triangles {
     * @return (node, n_triangles) for every node in ≥ 1 triangle,
     *         ordered by node id
     */
-  def perNode(edges: DataFrame): DataFrame = countUnd(undSimple(edges))
+  def perNode(edges: DataFrame): DataFrame =
+    countUnd(undSimple(edges), bloomLiteralMaxEdges)
+
+  /** [[perNode]] with the closure filter forced onto the partitioned
+    * semi-join form — the branch [[countUnd]] auto-selects past
+    * [[bloomLiteralMaxEdges]] oriented edges, exposed directly so the
+    * web-scale path is testable (hash-parity vs the Bloom form in
+    * ExtSpec) and measurable (GraphScaleProbe's `g2_semijoin` points)
+    * without synthesizing a 10^8-edge graph.
+    */
+  private[graft] def perNodeSemiJoinClosure(edges: DataFrame): DataFrame =
+    countUnd(undSimple(edges), -1L)
 
   /** Degree-capped exact triangle counts — the 100×-scale companion to
     * [[perNode]]. Exact wedge enumeration is O(m^1.5): the bound is
@@ -66,10 +77,20 @@ object Triangles {
       .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
     // countUnd materializes its result before returning, so nothing
     // lazy reads und0 afterwards — release it (CacheHygieneSpec)
-    val out = countUnd(capped)
+    val out = countUnd(capped, bloomLiteralMaxEdges)
     und0.unpersist()
     out
   }
+
+  /** Above this oriented-edge count the closure filter switches from the
+    * driver-literal Bloom to the partitioned semi-join (see the branch
+    * comment in [[countUnd]]). At 1% FPP the serialized filter is
+    * ~1.2 MB per million oriented edges (m bits ≈ 9.6m), so the literal
+    * is ~120 MB at the cap — already generous for a plan constant; past
+    * it the literal (shipped inside the serialized plan to EVERY task)
+    * stops being a prune and starts being the bottleneck.
+    */
+  private[graft] val bloomLiteralMaxEdges: Long = 100000000L
 
   private def undSimple(edges: DataFrame): DataFrame =
     edges
@@ -77,7 +98,7 @@ object Triangles {
       .where(col("u") =!= col("v"))
       .distinct()
 
-  private def countUnd(und0: DataFrame): DataFrame = {
+  private def countUnd(und0: DataFrame, bloomMaxEdges: Long): DataFrame = {
     // und feeds deg TWICE (du and dv joins) plus the orientation join:
     // uncached, the whole edge-producing subtree (for the co-purchase
     // graph, a lineitem self-join) re-evaluates three times in the
@@ -119,46 +140,64 @@ object Triangles {
     val wedges = x.join(y, Seq("src"))
       .where(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")))
-    // Semi-join reduction before the closure shuffle: the wedge stream
-    // is O(m^1.5) (41M rows at the sf0.1 co-purchase graph) but only
-    // ~#triangles of it survives the closing probe (1.9M there) — so
-    // shuffling every wedge to the (a, b) join is mostly wasted I/O
-    // (measured 10.2 s of g2's cost). A Bloom filter of the closing
-    // edge keys drops non-closing wedges MAP-SIDE at ~1% false-positive
-    // rate; the exact equi-join then verifies survivors, so false
-    // positives cost only shuffle bytes, never correctness — the same
-    // broadcast-sketch-prunes-the-shuffle pattern as [[BloomPrune]] and
-    // [[Decontaminate]]. The filter is built distributively
-    // (stat.bloomFilter = treeAggregate over the cached oriented list);
-    // only the finished ~MB sketch lands on the driver and re-embeds as
-    // a plan literal (the AnnIvf plan-constant license — Spark's own
+    // Only (src, a, b) crosses the closure shuffle: da/db steered the
+    // wedge de-dup predicate above and are dead weight past it — 16
+    // fewer bytes per wedge row on a stream that dominates the query's
+    // shuffle volume.
+    val wedgeKeys = wedges.select(col("src"), col("a"), col("b"))
+    // rank(a) < rank(b) ⇒ the a–b edge, if present, is oriented a→b;
+    // (src, dst) is UNIQUE in the oriented list (und is distinct, the
+    // orientation is a bijection), so the closing inner join has
+    // multiplicity exactly 1 — it IS the semi-join "does edge a→b
+    // exist", with the surviving wedge's own columns as the payload.
+    val closing = oriented.select(col("src").as("a"), col("dst").as("b"))
+    // Pruning the closure shuffle: the wedge stream is O(m^1.5) (41M
+    // rows at the sf0.1 co-purchase graph) but only ~#triangles of it
+    // survives the closing probe (1.9M there) — shuffling every wedge to
+    // the (a, b) join is mostly wasted I/O (measured 10.2 s of g2's
+    // cost). Two forms, selected by the oriented edge count:
+    //
+    // m ≤ bloomMaxEdges — driver-literal Bloom: a filter of the closing
+    // edge keys drops non-closing wedges MAP-SIDE (before the shuffle)
+    // at 1% false-positive rate; the exact equi-join then verifies
+    // survivors, so false positives cost only shuffle bytes, never
+    // correctness — the same broadcast-sketch-prunes-the-shuffle pattern
+    // as [[BloomPrune]] and [[Decontaminate]]. The filter is built
+    // distributively (stat.bloomFilter = treeAggregate over the cached
+    // oriented list); only the finished sketch (~1.2 MB per million
+    // edges at 1% FPP) lands on the driver and re-embeds as a plan
+    // literal (the AnnIvf plan-constant license — Spark's own
     // runtime-filter aggregate is not in the public function registry,
     // and might_contain requires a foldable filter side).
-    // Size bound: at 1% FPP the serialized filter is ~1.2 MB per million
-    // oriented edges (m bits ≈ 9.6m at fpp 0.01), linear in m — fine to
-    // ~10^8 edges (~120 MB driver-side + literal). Past the cap the FPP
-    // relaxes instead of letting the literal grow unbounded: false
-    // positives only add shuffle bytes the exact join discards, so a
-    // laxer filter degrades the PRUNE, never correctness (at 10% fpp
-    // the filter is ~half the size and still drops ~90% of non-closing
-    // wedges). At genuinely web-scale edge counts the right form is a
-    // partitioned semi-join pre-filter instead of a driver literal.
-    val bloomFpp = if (m <= 100000000L) 0.01 else 0.10
-    val tri = if (m == 0) wedges.limit(0)
-      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
-    else {
-      val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, bloomFpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val mightContain = {
-        import org.apache.spark.sql.GraftColumnBridge._
-        column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          expression(lit(bos.toByteArray)), expression(expr("xxhash64(a, b)"))))
+    //
+    // m > bloomMaxEdges — partitioned semi-join: the literal would
+    // exceed ~120 MB and ship inside the serialized plan to every task,
+    // so the closure filter becomes the closing join itself, planned as
+    // a SHUFFLED HASH join with the oriented list as the build side:
+    // both sides hash-partition on (a, b), each reducer builds a hash
+    // map of its m/P closing keys and streams its wedges through — no
+    // driver materialization of anything, no sort of the wedge stream
+    // (sort-merge would pay O(w log w) on the big side), memory bounded
+    // by the BUILD side per partition (raise P with m). The wedges
+    // shuffle unpruned — that is the honest cost of dropping the
+    // driver literal, linear in the wedge count and embarrassingly
+    // partitioned (GraphScaleProbe's g2_semijoin points measure it at
+    // 1x/10x edges next to the Bloom form).
+    val tri =
+      if (m == 0) wedgeKeys.limit(0).join(closing, Seq("a", "b"))
+      else if (m <= bloomMaxEdges) {
+        val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val mightContain = {
+          import org.apache.spark.sql.GraftColumnBridge._
+          column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            expression(lit(bos.toByteArray)), expression(expr("xxhash64(a, b)"))))
+        }
+        wedgeKeys.where(mightContain).join(closing, Seq("a", "b"))
+      } else {
+        wedgeKeys.join(closing.hint("shuffle_hash"), Seq("a", "b"))
       }
-      // rank(a) < rank(b) ⇒ the a–b edge, if present, is oriented a→b
-      wedges.where(mightContain)
-        .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
-    }
 
     // materialize the per-node counts (a localCheckpoint: blocks are
     // ContextCleaner-managed, freed when the caller drops the frame),

@@ -32,8 +32,21 @@ object VectorOps {
     */
   val Q: Double = graft.functions.QuantizedDot.Grid
 
-  /** Quantize a float/double element to the integer grid. */
-  def quant(x: Column): Column = floor(x * lit(Q)).cast(LongType)
+  /** Quantize a float/double element to the integer grid — the Column
+    * twin of [[graft.functions.QuantizedDot.quantize]], with the same
+    * saturation contract: NaN → 0, ±Inf and out-of-range values clamp
+    * to ±QMax (a bare `floor(...).cast(long)` maps +Inf to Long.MaxValue
+    * under non-ANSI casts and ABORTS under ANSI — neither is the
+    * exclude-or-saturate behavior CorruptVectorSpec pins). In-range data
+    * (every real embedding) is untouched, so DuckDB's plain
+    * `floor(x * Q)` oracle arithmetic stays bit-identical.
+    */
+  def quant(x: Column): Column = {
+    val qmax = graft.functions.QuantizedDot.QMax.toDouble
+    val y = floor(x.cast(DoubleType) * lit(Q))
+    when(isnan(y), lit(0L))
+      .otherwise(least(greatest(y, lit(-qmax)), lit(qmax)).cast(LongType))
+  }
 
   /** Exact (quantized) integer inner product of two float-array columns.
     * A native codegen'd expression ([[graft.functions.QuantizedDot]]) —

@@ -61,6 +61,10 @@ case class QuantizedDot(left: Expression, right: Expression)
     if (n != y.numElements())
       throw new IllegalArgumentException(
         s"quantized_dot: dimension mismatch ($n vs ${y.numElements()})")
+    if (n > QuantizedDot.MaxDims)
+      throw new IllegalArgumentException(
+        s"quantized_dot: $n dims exceeds the overflow-safe bound " +
+          s"${QuantizedDot.MaxDims} (dims * QMax^2 must stay below 2^63)")
     var i = 0; var acc = 0L
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i))
@@ -86,6 +90,10 @@ case class QuantizedDot(left: Expression, right: Expression)
          |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
          |    "quantized_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |if ($n > ${QuantizedDot.MaxDims}) {
+         |  throw new IllegalArgumentException(
+         |    "quantized_dot: " + $n + " dims exceeds the overflow-safe bound ${QuantizedDot.MaxDims}");
          |}
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
@@ -123,6 +131,16 @@ object QuantizedDot {
     * by plan constants with Spark's ANSI `Multiply`).
     */
   val QMax: Long = 100000000L
+
+  /** Overflow-safe dimension bound derived from [[QMax]], not assumed:
+    * an all-saturated pair accumulates dims * QMax^2, so dims must stay
+    * ≤ 2^63 / QMax^2 ≈ 922 for the long accumulator to be wrap-proof
+    * even in the worst case. Enforced at runtime in BOTH eval paths
+    * (one compare per call, outside the element loop); purely
+    * theoretical headroom for this repo's 64-dim embeddings, but it
+    * turns a silent wraparound at ~922+ dims into a loud error.
+    */
+  val MaxDims: Long = Long.MaxValue / (QMax * QMax) // = 922, floor((2^63-1)/1e16)
 
   /** THE quantization function (both eval paths and the Scala-side
     * codebook/centroid builders use this arithmetic): values floor onto

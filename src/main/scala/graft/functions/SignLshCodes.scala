@@ -52,7 +52,14 @@ case class SignLshCodes(child: Expression, bands: Int, bits: Int, dims: Int)
       if (x.isNullAt(d))
         throw new IllegalArgumentException(s"sign_lsh_codes: null element at index $d")
       val xv = if (elemIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
-      q(d) = math.floor(xv * QuantizedDot.Grid).toLong
+      // the saturating quantizer, not a bare floor: an unclamped ±Inf
+      // maps to Long.MaxValue and silently WRAPS the ±1-sign projection
+      // accumulator, yielding arbitrary buckets for corrupt vectors —
+      // saturated components bucket as the ±10-per-axis direction they
+      // clamp to, the same contract as [[QuantizedDot]] (in-range data,
+      // i.e. every real embedding, is untouched, so the md5-parity
+      // oracle stays bit-identical)
+      q(d) = QuantizedDot.quantize(xv)
       d += 1
     }
     val s = signs
@@ -84,6 +91,7 @@ case class SignLshCodes(child: Expression, bands: Int, bits: Int, dims: Int)
       val proj = ctx.freshName("proj"); val code = ctx.freshName("code")
       val base = ctx.freshName("base")
       val get = if (elemIsFloat) s"(double) $x.getFloat($d)" else s"$x.getDouble($d)"
+      val qy = ctx.freshName("qy")
       s"""
          |if ($x.numElements() != $dims) {
          |  throw new IllegalArgumentException(
@@ -94,7 +102,9 @@ case class SignLshCodes(child: Expression, bands: Int, bits: Int, dims: Int)
          |  if ($x.isNullAt($d)) {
          |    throw new IllegalArgumentException("sign_lsh_codes: null element at index " + $d);
          |  }
-         |  $q[$d] = (long) java.lang.Math.floor(($get) * ${QuantizedDot.Grid}D);
+         |  final double $qy = java.lang.Math.floor(($get) * ${QuantizedDot.Grid}D);
+         |  $q[$d] = $qy >= ${QuantizedDot.QMax}.0D ? ${QuantizedDot.QMax}L
+         |    : ($qy <= -${QuantizedDot.QMax}.0D ? -${QuantizedDot.QMax}L : (long) $qy);
          |}
          |final long[] $out = new long[$bands];
          |for (int $band = 0; $band < $bands; $band++) {

@@ -66,10 +66,24 @@ object SegmentationLloyd {
       if (scaleRow.isNullAt(i) || scaleRow.getDouble(i) == 0.0) 1.0
       else scaleRow.getDouble(i)
     }
+    // saturating clamp + NaN guard around the floor, mirroring the
+    // embedding paths' quantizer contract ([[graft.functions.QuantizedDot
+    // .quantize]]): the max-abs scaling bounds |x/s| ≤ 1 for any frame
+    // that honors the catalog contract, so for catalog data every value
+    // is in-range and the clamp is a no-op (the DuckDB twin's plain
+    // floor stays bit-identical) — but a caller-supplied frame with a
+    // NaN/Inf feature now quantizes to 0 / saturates at ±QMax instead of
+    // flowing a non-finite double into cast(long) and the BIGINT
+    // distance math (|q| ≤ QMax keeps the 4-dim squared distance within
+    // long range: 4 · (2·10^8)² ≈ 1.6·10^17 << 2^63)
+    val qmax = graft.functions.QuantizedDot.QMax.toDouble
     features.select(
       col("custkey") +:
         featCols.zip(scales).zipWithIndex.map { case ((c, s), i) =>
-          floor(col(c) / lit(s) * lit(Grid.toDouble)).cast("long").as(s"q${i + 1}")
+          val y = floor(col(c) / lit(s) * lit(Grid.toDouble))
+          when(isnan(y), lit(0L))
+            .otherwise(least(greatest(y, lit(-qmax)), lit(qmax)).cast("long"))
+            .as(s"q${i + 1}")
         }: _*)
   }
 

@@ -327,6 +327,15 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       5L -> 1L, 6L -> 1L, 7L -> 1L))
+
+    // the web-scale closure branch (partitioned semi-join, no driver
+    // Bloom literal — auto-selected past bloomLiteralMaxEdges oriented
+    // edges) must agree row-for-row with the Bloom form on the same
+    // noisy graph: same orientation, same wedge set, only the prune
+    // mechanism differs
+    val semi = Triangles.perNodeSemiJoinClosure(noisy.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(semi == got, s"semi-join closure diverged: $semi vs $got")
   }
 
   test("FuzzyJoin: finds substitution AND indel-shift pairs; cap drops stopword blocks") {

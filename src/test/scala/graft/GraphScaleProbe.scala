@@ -80,6 +80,10 @@ object GraphScaleProbe {
       time(s"g3_bfs_$tag") { BfsHops.hops(edges).count() }
       time(s"g4_labelprop_$tag") { LabelPropagation.communities(edges).count() }
       time(s"g2_triangles_$tag") { Triangles.perNode(edges).count() }
+      // the >10^8-edge closure branch (partitioned semi-join, no driver
+      // Bloom literal) measured on the same graph: the prune argument
+      // for web scale rests on this point scaling like the Bloom form
+      time(s"g2_semijoin_$tag") { Triangles.perNodeSemiJoinClosure(edges).count() }
       time(s"g5_capped_$tag") { Triangles.perNodeCapped(edges).count() }
     }
 
