@@ -43,6 +43,19 @@ object MlQueries {
       }),
       None),
 
+    // M6-M10 hash-gated twin: a depth-2 exact decision tree over the
+    // same churn features (repurchase label, first day, balance,
+    // segment) with integer-exact split search DuckDB replays as a CTE
+    // chain — the ml_kmeans_lloyd pattern applied to classification;
+    // the RF pipeline above stays the product path and the argued
+    // no_oracle posture
+    "ml_churn_twin" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        ChurnTree.scores(c.customer, c.orders, c.lineitem)
+      }),
+      Some(ChurnTree.oracle())),
+
     // S12/M12: model-persistence round-trip THROUGH the registry — fit a
     // fixed-K segmentation PipelineModel, save it, load it back, and
     // re-score the identical feature rows with BOTH copies. The output is

@@ -49,4 +49,41 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
           "an operator must unpersist its build caches once its result is " +
           "materialized (keep iterative state as localCheckpoints instead)")
     }
+
+  /** The long-lived-session contract, end to end: the serving design
+    * (`serve/Serving.scala`) replaces the reference's per-query JVM
+    * (`streamlit_segmentation_app.py:21-36`) with ONE session composing
+    * operators indefinitely — its failure mode is cumulative leakage no
+    * single-operator test sees. This soak runs the ENTIRE registry
+    * sequentially in the shared session (the same sequence Verify runs),
+    * asserting after EVERY query that the CacheManager is empty (exact
+    * attribution on failure), and at the end that executor storage
+    * drains back to zero persisted RDDs once the result frames are
+    * unreachable — localCheckpoint blocks are ContextCleaner-managed,
+    * so anything still pinned after GC is a genuine leak.
+    */
+  test("full-registry soak: all queries back-to-back leave no cache and drain storage") {
+    spark.catalog.clearCache()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
+        s"$name left a CacheManager entry when run mid-soak (after every " +
+          "query sorted before it) — a leak only the composed-session soak " +
+          "can see if its trigger is cross-query state")
+    }
+    // storage stability: checkpoint blocks from the (now unreachable)
+    // result frames must drain under GC + ContextCleaner — poll rather
+    // than sleep-once since the cleaner is asynchronous
+    val sc = spark.sparkContext
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var remaining = sc.getPersistentRDDs.size
+    while (remaining > 0 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(500)
+      remaining = sc.getPersistentRDDs.size
+    }
+    assert(remaining == 0,
+      s"$remaining persisted RDDs survived GC + ContextCleaner after the full " +
+        "registry ran — some operator pins storage beyond its result's lifetime")
+  }
 }

@@ -53,6 +53,39 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     assert(t.length == 2 && t.map(_.getAs[Int]("cluster")).toSet.subsetOf(Set(0, 1)))
   }
 
+  test("churn tree twin: one row per labeled pair, informative splits, deterministic") {
+    val c = Catalog(spark, sf)
+    val a = ChurnTree.scores(c.customer, c.orders, c.lineitem).collect()
+    val nPairs = graft.analytics.Repurchase(c.orders, c.lineitem).count()
+    assert(a.length == nPairs, s"one row per (custkey, partkey): ${a.length} vs $nPairs")
+    // leaves are the 4 depth-2 buckets; stats are consistent per leaf
+    val byLeaf = a.groupBy(_.getAs[Int]("leaf"))
+    assert(byLeaf.keySet.subsetOf(Set(0, 1, 2, 3)))
+    byLeaf.foreach { case (_, rows) =>
+      assert(rows.map(r => (r.getAs[Long]("leaf_pos"), r.getAs[Long]("leaf_n"))).toSet.size == 1,
+        "every row in a leaf carries that leaf's fit stats")
+    }
+    // the splits are informative, not degenerate: leaf positive rates
+    // differ (a tree that never separated labels would emit one rate),
+    // and at least two leaves received fit rows
+    val stats = byLeaf.values.map { rows =>
+      val r = rows.head
+      (r.getAs[Long]("leaf_pos").toDouble, r.getAs[Long]("leaf_n").toDouble)
+    }.filter(_._2 > 0).toSeq
+    val rates = stats.map { case (p, n) => p / n }
+    assert(rates.size >= 2, s"tree routed everything to one leaf: $rates")
+    // relative to the base rate, not an absolute gap: repurchase
+    // positives are rare (~0.5% at sf0.001), so an informative tree
+    // shows up as leaf ENRICHMENT — the best leaf's rate above the
+    // overall rate, and a strict spread between leaves
+    val overall = stats.map(_._1).sum / stats.map(_._2).sum
+    assert(rates.max > overall && rates.max > rates.min,
+      s"splits separated nothing: leaf rates $rates vs base $overall")
+    // bit-determinism across a re-run (fit + assignment are integer)
+    val b = ChurnTree.scores(c.customer, c.orders, c.lineitem).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("churn RF trains with AUC in band and an exact split") {
     val c = Catalog(spark, sf)
     val r = ChurnPipeline.fitEvaluate(ChurnPipeline.examples(c.customer, c.orders, c.lineitem))
