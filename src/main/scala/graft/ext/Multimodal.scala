@@ -26,11 +26,37 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, first_byte: Int, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake in place of a real codec. */
-  object FakeDecoder {
-    /** Would be: decode(bytes) -> pixel buffer. Fake: sizes derived from
-      * the payload bytes themselves (stable under re-partitioning).
-      */
+  /** The decoder seam: a real JNI/FFmpeg/ImageIO-backed implementation
+    * drops in here without touching the pipeline ([[decodeFeatures]]
+    * takes any instance). The contract an implementation MUST satisfy —
+    * pinned executable by DecoderContractSpec's conformance harness, run
+    * any new decoder through it:
+    *
+    *  - **pure / deterministic**: the result is a function of
+    *    (id, bytes) alone — no wall clock, no RNG, no per-task state —
+    *    so Spark may recompute a partition after task retry or executor
+    *    loss and the output is identical (non-determinism here silently
+    *    corrupts any downstream dedup/join under speculative execution);
+    *  - **partition-invariant**: follows from purity — the same corpus
+    *    under any repartitioning yields the same feature SET;
+    *  - **total on empty payloads**: zero-byte media must return a
+    *    well-formed row (n_bytes = 0), never throw — at pipeline scale
+    *    one truncated blob in 10^10 must not abort the job (the
+    *    corrupted-embedding posture applied to media);
+    *  - **serializable**: the instance ships inside the mapPartitions
+    *    closure to every executor.
+    */
+  trait Decoder extends Serializable {
+    /** Would be: decode(bytes) -> pixel/sample buffer -> features. */
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec (no
+    * codec libs in this container): sizes derived from the payload
+    * bytes themselves, trivially satisfying the [[Decoder]] contract
+    * (and proven against it in DecoderContractSpec).
+    */
+  object FakeDecoder extends Decoder {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
       val n = bytes.length
       val first = if (n > 0) bytes(0) & 0xff else 0
@@ -49,16 +75,19 @@ object Multimodal {
         col("source").as("origin"),
         col("n_chars").as("content_hint")).as("meta"))
 
-  /** Partition-parallel "decode" over the payload batch — the stubbed
-    * stage. Returns a typed Dataset with the extracted features.
+  /** Partition-parallel decode over the payload batch, through the
+    * [[Decoder]] seam (default: the stub). Returns a typed Dataset with
+    * the extracted features; one task holds one payload batch at a time
+    * regardless of which decoder is plugged in.
     */
-  def decodeFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
+  def decodeFeatures(payloads: DataFrame,
+                     decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decoder.decode(id, bytes) })
   }
 
   /** Frame sampling: chunk the payload into fixed-size frames and keep
