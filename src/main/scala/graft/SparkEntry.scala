@@ -79,7 +79,7 @@ object SparkEntry {
     "q26_json_props", "q27_pick_per_group", "q28_percentiles",
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
-    "q35_coupon_flag", "ml_fpgrowth_pairs", "ml_kmeans_lloyd",
+    "q35_coupon_flag", "ml_fpgrowth_pairs", "ml_kmeans_lloyd", "ml_churn_twin",
     // layout queries last: q37 replicates its build side 8x and q38
     // writes two bucketed warehouse tables inside the measured window —
     // nothing should run downstream of their footprint
