@@ -79,12 +79,16 @@ object GraphScaleProbe {
       time(s"g1_pagerank_$tag") { PageRank.ranks(edges).count() }
       time(s"g3_bfs_$tag") { BfsHops.hops(edges).count() }
       time(s"g4_labelprop_$tag") { LabelPropagation.communities(edges).count() }
+      // g5 BEFORE the exact variants here too (the clique-stage lesson):
+      // the r12 first run measured g5_capped_10x at 59.4 s purely from
+      // following BOTH heavy g2 variants — the g5-first rerun and the
+      // min-of-3 bench artifact agree it is ~half that
+      time(s"g5_capped_$tag") { Triangles.perNodeCapped(edges).count() }
       time(s"g2_triangles_$tag") { Triangles.perNode(edges).count() }
       // the >10^8-edge closure branch (partitioned semi-join, no driver
       // Bloom literal) measured on the same graph: the prune argument
       // for web scale rests on this point scaling like the Bloom form
       time(s"g2_semijoin_$tag") { Triangles.perNodeSemiJoinClosure(edges).count() }
-      time(s"g5_capped_$tag") { Triangles.perNodeCapped(edges).count() }
     }
 
     // Dense-core probe — the regime where exact wedge enumeration's
