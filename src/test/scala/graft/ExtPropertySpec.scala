@@ -1,0 +1,206 @@
+package graft
+
+import graft.ext.{BfsHops, DedupClusters, PageRank, SimHash, SpanDedup}
+import graft.ext.TextStats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the extension families — the
+  * RelationalPropertySpec lane applied to dedup, graph, and corpus
+  * operators. The fixed-corpus oracles pin exact outputs on the
+  * testdata; these pin the operators' DEFINING laws on generated
+  * inputs the testdata cannot explore (adversarial collision
+  * structure, dense repeats, arbitrary graph shapes):
+  *
+  *  1. SimHash pigeonhole blocking is EXACT, not approximate: with the
+  *     bucket cap out of the way, pairs() ≡ the all-pairs Hamming
+  *     filter — completeness is the pigeonhole principle (hamming ≤ H
+  *     forces ≥1 of the H+1 blocks equal), soundness is the exact
+  *     verify;
+  *  2. span dedup ≡ exhaustive grid-window comparison: every
+  *     cross-document window-length substring match at grid-aligned
+  *     offsets is reported, and nothing else (rolling-hash collisions
+  *     may merge buckets but the exact-substring verify removes them);
+  *  3. connected-components labels equal a driver-side union-find's
+  *     min-reachable-id, for any pair topology;
+  *  4. BFS hop counts equal a driver-side multi-source BFS on any
+  *     directed graph;
+  *  5. PageRank output is bit-identical under input row order and
+  *     partitioning — the claim the integer-arithmetic design makes;
+  *  6. sequence packing preserves the corpus exactly and its
+  *     (bin, bin_offset) layout is the running-sum law downstream
+  *     writers rely on, invariant under input partitioning.
+  *
+  * Determinism: every input derives from an explicit ScalaCheck Seed —
+  * a failure is a permanent regression case, not a flake.
+  */
+class ExtPropertySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], seed: Long, n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // ---------------------------------------------------------------- 1.
+
+  test("SimHash pairs ≡ exact all-pairs Hamming filter (pigeonhole completeness)") {
+    // cluster-structured corpora: mutated copies of a few base word
+    // lists, so small-Hamming pairs actually exist (uniform random text
+    // almost never lands within maxHamming)
+    val pool = (0 until 30).map(i => s"w$i")
+    val baseGen = Gen.choose(6, 14).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool)))
+    val corpusGen = for {
+      nBase <- Gen.choose(1, 4)
+      bases <- Gen.listOfN(nBase, baseGen)
+      nDocs <- Gen.choose(2, 24)
+      docs <- Gen.listOfN(nDocs, for {
+        b <- Gen.oneOf(bases)
+        mut <- Gen.choose(0, 2)
+        extra <- Gen.listOfN(mut, Gen.oneOf(pool))
+      } yield (b ++ extra).mkString(" "))
+      maxH <- Gen.choose(1, 4)
+    } yield (docs, maxH)
+    for (((texts, maxH), i) <- samples(corpusGen, seed = 130001L, n = 6).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val fps = SimHash.fingerprints(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        ham = fps(a).zip(fps(b)).count { case (x, y) => x != y }
+        if ham <= maxH
+      } yield (a, b, ham)).toSet
+      val got = SimHash.pairs(docs, maxHamming = maxH, bucketCap = 100000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"sample $i (maxH=$maxH, ${texts.size} docs): " +
+          s"missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  // ---------------------------------------------------------------- 2.
+
+  test("span pairs ≡ exhaustive grid-window substring comparison") {
+    val window = 8; val stride = 4
+    // tiny alphabet so window-length matches arise naturally
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, textGen))
+    for ((texts, i) <- samples(corpusGen, seed = 130101L, n = 8).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      def grid(t: String): Seq[(Int, String)] =
+        (0 to t.length - window by stride).map(p => p -> t.substring(p, p + window))
+      val expected = (for {
+        (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex if a < b
+        (pa, sa) <- grid(ta); (pb, sb) <- grid(tb) if sa == sb
+      } yield (a.toLong, pa, b.toLong, pb, sa)).toSet
+      val got = SpanDedup.spanPairs(docs, window, stride, bucketCap = 100000)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4))).toSet
+      assert(got == expected,
+        s"sample $i: missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  // ---------------------------------------------------------------- 3.
+
+  test("component labels ≡ driver union-find min-reachable-id on any pair topology") {
+    val gen = for {
+      nDocs <- Gen.choose(1, 25)
+      nPairs <- Gen.choose(0, 30)
+      pairs <- Gen.listOfN(nPairs,
+        Gen.zip(Gen.choose(0L, nDocs - 1L), Gen.choose(0L, nDocs - 1L)))
+    } yield (nDocs, pairs)
+    for (((nDocs, pairs), i) <- samples(gen, seed = 130201L, n = 6).zipWithIndex) {
+      val docs = (0L until nDocs.toLong).toDF("doc_id")
+      val pairsDf = pairs.toDF("doc_a", "doc_b")
+      // driver union-find
+      val parent = Array.tabulate(nDocs)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nDocs).map(d => d.toLong -> find(d).toLong).toMap
+      val got = DedupClusters.components(docs, pairsDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"sample $i ($nDocs docs, ${pairs.size} pairs)")
+    }
+  }
+
+  // ---------------------------------------------------------------- 4.
+
+  test("BFS hops ≡ driver multi-source BFS on any directed graph") {
+    val seedMod = 5L; val maxHops = 3
+    val gen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))))
+    for ((edges, i) <- samples(gen, seed = 130301L, n = 6).zipWithIndex) {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var dist = nodes.filter(_ % seedMod == 0).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      for (k <- 1 to maxHops if frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> k.toLong)
+        frontier = next
+      }
+      val got = BfsHops.hops(edges.toDF("src", "dst"), seedMod, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"sample $i (${edges.size} edges): " +
+        s"missing=${dist.toSet -- got.toSet} spurious=${got.toSet -- dist.toSet}")
+    }
+  }
+
+  // ---------------------------------------------------------------- 5.
+
+  test("PageRank is bit-identical under input row order and partitioning") {
+    val gen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L))))
+    for ((edges, i) <- samples(gen, seed = 130401L, n = 4).zipWithIndex) {
+      val df = edges.toDF("src", "dst")
+      val scrambled = df.orderBy(rand(42 + i)).repartition(13)
+      val a = PageRank.ranks(df).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = PageRank.ranks(scrambled).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a == b, s"sample $i: rank output depends on row order/partitioning")
+    }
+  }
+
+  // ---------------------------------------------------------------- 6.
+
+  test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
+    val gen = for {
+      nDocs <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(nDocs, Gen.choose(0L, 50L))
+      budget <- Gen.choose(16, 64)
+    } yield (toks, budget)
+    for (((toks, budget), i) <- samples(gen, seed = 130501L, n = 6).zipWithIndex) {
+      val docs = toks.zipWithIndex.map { case (t, j) => (j.toLong, "x", t) }
+        .toDF("doc_id", "text", "n")
+      val out = TextStats.packSequencesBy(docs, budget, nShards = 8, tokens = col("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // corpus preserved exactly, token counts passed through
+      assert(out.map(_._1).sorted.toSeq == (0L until toks.size.toLong),
+        s"sample $i: doc set not preserved")
+      assert(out.map(t => t._1 -> t._3).toMap == toks.zipWithIndex.map {
+        case (t, j) => j.toLong -> t }.toMap, s"sample $i: token counts mutated")
+      // per-shard running-sum law over the output's own shard assignment
+      for ((_, rows) <- out.groupBy(_._2)) {
+        var cum = 0L
+        for ((_, _, n, bin, off) <- rows.sortBy(_._1)) {
+          assert(bin == cum / budget && off == cum % budget,
+            s"sample $i: layout violates the running-sum law")
+          cum += n
+        }
+      }
+      // bit-identical under partitioning and row order
+      val scrambled = TextStats.packSequencesBy(
+        docs.orderBy(rand(99 + i)).repartition(5), budget, nShards = 8, tokens = col("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(scrambled.toSeq == out.sortBy(_._1).toSeq,
+        s"sample $i: packing depends on input partitioning")
+    }
+  }
+}
