@@ -168,6 +168,106 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // ---------------------------------------------------------------- 6.
 
+  test("MinHash verified pairs: exact Jaccard values, exact-duplicate completeness, prepared-path parity") {
+    import graft.ext.MinHashDedup
+    // corpora of mutated copies so near-dups exist; exact duplicates
+    // planted by drawing the same base twice
+    val pool = (0 until 20).map(i => s"tok$i")
+    val baseGen = Gen.choose(8, 16).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool)))
+    val corpusGen = for {
+      bases <- Gen.listOfN(3, baseGen)
+      nDocs <- Gen.choose(4, 20)
+      docs <- Gen.listOfN(nDocs, for {
+        b <- Gen.oneOf(bases)
+        mut <- Gen.choose(0, 3)
+        extra <- Gen.listOfN(mut, Gen.oneOf(pool))
+      } yield (b ++ extra).mkString(" "))
+    } yield docs
+    for ((texts, i) <- samples(corpusGen, seed = 130601L, n = 5).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val grams = docs.select(col("doc_id"),
+          graft.functions.HashedNgrams.of(col("text"), 5).as("grams"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      def jac(a: Long, b: Long): Double = {
+        val inter = grams(a).intersect(grams(b)).size
+        inter.toDouble / (grams(a).size + grams(b).size - inter)
+      }
+      val got = MinHashDedup.verifiedPairs(docs, 5, 0.5, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // soundness: reported values are the exact Jaccard, all >= threshold
+      for (((a, b), j) <- got) {
+        assert(j == jac(a, b) && j >= 0.5, s"sample $i pair ($a,$b): j=$j vs exact ${jac(a, b)}")
+      }
+      // exact-duplicate completeness: identical signatures collide in
+      // every band, so identical texts MUST be reported at jaccard 1.0
+      for {
+        (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex
+        if a < b && ta == tb && ta.length >= 5
+      } assert(got.get((a.toLong, b.toLong)).contains(1.0),
+        s"sample $i: exact duplicate ($a,$b) not reported at 1.0")
+      // the prepared-frame path emits the identical pair set
+      val prep = MinHashDedup.prepared(docs, 5).cache()
+      val viaPrep = MinHashDedup.verifiedPairsFromPrepared(prep, 0.5, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      prep.unpersist()
+      assert(viaPrep == got, s"sample $i: prepared path diverged")
+    }
+  }
+
+  // ---------------------------------------------------------------- 7.
+
+  test("fuzzy join ≡ all-pairs edit-distance filter (PassJoin completeness)") {
+    import graft.ext.FuzzyJoin
+    val alpha = "abcdefgh"
+    val charGen = Gen.oneOf(alpha.toSeq)
+    val baseGen = Gen.choose(24, 32).flatMap(k => Gen.listOfN(k, charGen).map(_.mkString))
+    def mutate(s: String, ops: List[(Int, Int, Char)]): String =
+      ops.foldLeft(s) { case (t, (kind, pos, c)) =>
+        if (t.isEmpty) t else {
+          val p = pos % t.length
+          kind % 3 match {
+            case 0 => t.updated(p, c)                         // substitute
+            case 1 => t.substring(0, p) + c + t.substring(p)  // insert
+            case 2 => t.substring(0, p) + t.substring(p + 1)  // delete
+          }
+        }
+      }
+    val corpusGen = for {
+      bases <- Gen.listOfN(3, baseGen)
+      nDocs <- Gen.choose(4, 16)
+      docs <- Gen.listOfN(nDocs, for {
+        b <- Gen.oneOf(bases)
+        nOps <- Gen.choose(0, 3)
+        ops <- Gen.listOfN(nOps, for {
+          kind <- Gen.choose(0, 2); pos <- Gen.choose(0, 40); c <- charGen
+        } yield (kind, pos, c))
+      } yield mutate(b, ops))
+    } yield docs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((texts, i) <- samples(corpusGen, seed = 130701L, n = 6).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val keys = texts.zipWithIndex.collect {
+        case (t, j) if t.length >= 24 => j.toLong -> t.substring(0, 24) }.toMap
+      val expected = (for {
+        a <- keys.keys; b <- keys.keys if a < b
+        ed = lev(keys(a), keys(b)) if ed <= 2
+      } yield (a, b, ed.toLong)).toSet
+      val got = FuzzyJoin.editDistancePairs(docs, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"sample $i: missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  // ---------------------------------------------------------------- 8.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
