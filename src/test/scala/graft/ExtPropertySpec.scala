@@ -268,6 +268,80 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // ---------------------------------------------------------------- 8.
 
+  test("Bloom membership has one-sided error; HLL is multiset- and order-insensitive") {
+    import graft.ext.{BloomPrune, HyperLogLog}
+    val keyGen = Gen.choose(1L, 400L).map(i => s"key_$i")
+    val gen = for {
+      base <- Gen.choose(1, 120).flatMap(n => Gen.listOfN(n, keyGen))
+      probe <- Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, keyGen))
+    } yield (base, probe)
+    for (((base, probe), i) <- samples(gen, seed = 130801L, n = 5).zipWithIndex) {
+      val baseDf = base.toDF("key")
+      val probeDf = probe.distinct.zipWithIndex
+        .map { case (k, j) => (j.toLong, k) }.toDF("id", "key")
+      val got = BloomPrune.membership(baseDf, probeDf, "id", "key", m = 512, numHashes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(got.length == probe.distinct.size, s"sample $i: one row per probe key")
+      for ((id, bloomHit, exactHit) <- got) {
+        // the one-sided contract: a true member can NEVER miss
+        assert(exactHit <= bloomHit,
+          s"sample $i id=$id: false NEGATIVE (exact=$exactHit bloom=$bloomHit)")
+      }
+      // HLL: a cardinality sketch must ignore multiplicity and order
+      def est(df: DataFrame): (Double, Int) = {
+        val r = HyperLogLog.estimate(df, "key").collect()(0)
+        (r.getAs[Double]("hll_estimate"), r.getAs[Int]("n_zero"))
+      }
+      val (e1, z1) = est(baseDf)
+      val (e2, z2) = est(baseDf.union(baseDf).orderBy(rand(7 + i)).repartition(5))
+      assert((e1, z1) == (e2, z2),
+        s"sample $i: HLL sketch changed under duplication/shuffle ($e1/$z1 vs $e2/$z2)")
+      // accuracy law on the CORRECTED estimate: the operator emits the
+      // raw HLL plus n_zero precisely so a caller applies the standard
+      // small-range linear-counting switch — do what the caller does
+      val m = 256.0
+      val corrected = if (z1 > 0 && e1 <= 2.5 * m) m * math.log(m / z1) else e1
+      val exact = base.distinct.size
+      assert(math.abs(corrected - exact) / exact < 0.25,
+        s"sample $i: corrected estimate $corrected implausibly far from exact $exact (raw $e1, n_zero $z1)")
+    }
+  }
+
+  // ---------------------------------------------------------------- 9.
+
+  test("decontamination flags ≡ driver-side n-gram overlap; broadcast hint is semantics-free") {
+    import graft.ext.Decontaminate
+    val pool = (0 until 25).map(i => s"w$i")
+    val textGen = Gen.choose(0, 20).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool)).map(_.mkString(" ")))
+    val gen = for {
+      corpus <- Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, textGen))
+      bench <- Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, textGen))
+    } yield (corpus, bench)
+    for (((corpus, bench), i) <- samples(gen, seed = 130901L, n = 5).zipWithIndex) {
+      val corpusDf = corpus.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex.map { case (t, j) => (1000L + j, t) }.toDF("doc_id", "text")
+      val n = 3
+      // driver reference over the engine's own gram arrays (the law under
+      // test is the flagging join, not the hash function — the hash has
+      // its own parity lane in NativeParityFuzzSpec)
+      def grams(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("doc_id"),
+            graft.ext.TextStats.hashedWordGramsCol(col("text"), n).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val cg = grams(corpusDf)
+      val bg = grams(benchDf).values.foldLeft(Set.empty[Long])(_ ++ _)
+      val want = cg.map { case (id, g) => id -> g.intersect(bg).nonEmpty }
+      for (bc <- Seq(true, false)) {
+        val got = Decontaminate.flags(corpusDf, benchDf, n, broadcastBench = bc)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(got == want, s"sample $i (broadcast=$bc): flags diverged " +
+          s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- 10.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
