@@ -342,6 +342,74 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // --------------------------------------------------------------- 10.
 
+  test("incremental dedup ≡ full-corpus pairing restricted to cross pairs") {
+    import graft.ext.MinHashDedup
+    val pool = (0 until 20).map(i => s"tok$i")
+    val baseGen = Gen.choose(8, 16).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool)))
+    val corpusGen = for {
+      bases <- Gen.listOfN(3, baseGen)
+      nDocs <- Gen.choose(6, 24)
+      docs <- Gen.listOfN(nDocs, for {
+        b <- Gen.oneOf(bases)
+        mut <- Gen.choose(0, 3)
+        extra <- Gen.listOfN(mut, Gen.oneOf(pool))
+      } yield (b ++ extra).mkString(" "))
+      splitAt <- Gen.choose(1, nDocs - 1)
+    } yield (docs, splitAt)
+    for (((texts, splitAt), i) <- samples(corpusGen, seed = 131001L, n = 5).zipWithIndex) {
+      val all = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val existing = all.filter(col("doc_id") < splitAt)
+      val arriving = all.filter(col("doc_id") >= splitAt)
+      val incr = MinHashDedup.crossPairs(existing, arriving, 5, 0.5, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // the full-corpus pair set, restricted to (existing, arriving) and
+      // re-oriented to the incremental output's (existing, arriving) order
+      val full = MinHashDedup.verifiedPairs(all, 5, 0.5, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val fullCross = full.flatMap { case (a, b, j) =>
+        if (a < splitAt && b >= splitAt) Some((a, b) -> j)
+        else if (b < splitAt && a >= splitAt) Some((b, a) -> j)
+        else None
+      }.toMap
+      assert(incr == fullCross, s"sample $i (split $splitAt/${texts.size}): " +
+        s"missing=${fullCross.toSet -- incr.toSet} spurious=${incr.toSet -- fullCross.toSet}")
+    }
+  }
+
+  // --------------------------------------------------------------- 11.
+
+  test("stratified take ≡ driver md5-order selection; exact per-group counts; partition-invariant") {
+    import graft.ext.TextStats
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gen = for {
+      nDocs <- Gen.choose(1, 60)
+      groups <- Gen.listOfN(nDocs, Gen.choose(1, 4).map(g => s"g$g"))
+      n <- Gen.choose(1, 6)
+    } yield (groups, n)
+    for (((groups, n), i) <- samples(gen, seed = 131101L, n = 5).zipWithIndex) {
+      val docs = groups.zipWithIndex.map { case (g, j) => (j.toLong, g, "txt") }
+        .toDF("doc_id", "lang", "text")
+      val seedStr = s"prop$i"
+      val got = TextStats.stratifiedTake(docs, "lang", n, seedStr)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val want = groups.zipWithIndex.groupBy(_._1).flatMap { case (g, members) =>
+        members.map { case (_, id) => (md5hex(s"$seedStr:$id"), id.toLong) }
+          .sortBy(identity).take(n).zipWithIndex
+          .map { case ((_, id), rank) => (id, g, rank + 1) }
+      }.toSet
+      assert(got == want,
+        s"sample $i: missing=${want -- got} spurious=${got -- want}")
+      val scrambled = TextStats.stratifiedTake(
+          docs.orderBy(rand(3 + i)).repartition(7), "lang", n, seedStr)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(scrambled == got, s"sample $i: selection depends on input partitioning")
+    }
+  }
+
+  // --------------------------------------------------------------- 12.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
