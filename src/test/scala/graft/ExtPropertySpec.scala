@@ -410,6 +410,72 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // --------------------------------------------------------------- 12.
 
+  test("span removal ≡ driver interval-merge over the exhaustive grid matches") {
+    import graft.ext.SpanDedup
+    val window = 8; val stride = 4
+    val textGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, textGen))
+    for ((texts, i) <- samples(corpusGen, seed = 131201L, n = 6).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      // driver: removal sites are the doc_b side of every cross-doc
+      // grid-window match; merge overlapping-or-touching [pos, pos+w)
+      // intervals; stitch the kept segments
+      def grid(t: String): Seq[(Int, String)] =
+        (0 to t.length - window by stride).map(p => p -> t.substring(p, p + window))
+      val sites = (for {
+        (ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex if a < b
+        (pa, sa) <- grid(ta); (pb, sb) <- grid(tb) if sa == sb
+      } yield (b.toLong, pb)).distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      val want = texts.zipWithIndex.map { case (t, j) =>
+        sites.get(j.toLong) match {
+          case None => (j.toLong, t, 0, 0)
+          case Some(ps) =>
+            val ivs = ps.foldLeft(List.empty[(Int, Int)]) {
+              case ((s, e) :: rest, p) if p <= e => (s, math.max(e, p + window)) :: rest
+              case (acc, p) => (p, p + window) :: acc
+            }.reverse
+            val kept = new StringBuilder
+            var cur = 0
+            for ((s, e) <- ivs) { kept ++= t.substring(cur, s); cur = e }
+            kept ++= t.substring(cur)
+            (j.toLong, kept.toString, ivs.size, t.length - kept.length)
+        }
+      }.toSet
+      val got = SpanDedup.removeSpans(docs, window, stride, bucketCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got == want, s"sample $i: missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  // --------------------------------------------------------------- 13.
+
+  test("containment join ≡ all-ordered-pairs distinct-gram containment (prefix-filter completeness)") {
+    import graft.ext.{ContainmentJoin, TextStats}
+    val pool = (0 until 15).map(i => s"w$i")
+    val corpusGen = Gen.choose(2, 16).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(0, 14).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool)).map(_.mkString(" ")))))
+    for ((texts, i) <- samples(corpusGen, seed = 131301L, n = 6).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val grams = docs.select(col("doc_id"),
+          array_distinct(TextStats.hashedWordGramsCol(col("text"), 3)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+        .filter(_._2.nonEmpty).toMap
+      val t = 80
+      val want = (for {
+        (a, ga) <- grams; (b, gb) <- grams if a != b
+        inter = ga.intersect(gb).size.toLong
+        if inter * 100 >= ga.size.toLong * t
+      } yield (a, b, ga.size.toLong, inter, inter * 100 / ga.size)).toSet
+      val got = ContainmentJoin.pairs(docs, 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"sample $i: missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  // --------------------------------------------------------------- 14.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
