@@ -75,6 +75,32 @@ class AnnPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PQ with an exhaustive refine budget ≡ driver-exact brute-force top-k") {
+    import graft.ext.AnnPq
+    val k = 5
+    for ((vs, i) <- samples(corpusGen, seed = 160201L, n = 3).zipWithIndex) {
+      val df = toDf(vs)
+      val queries = df.filter($"vec_id" < 6)
+      val cb = AnnPq.fixedCodebooks(df)
+      // refine budget covering the whole corpus: the ADC shortlist is
+      // everything, so the exact rescore must reproduce brute force —
+      // pinning `refine` as a pure recall dial, like IVF's nProbe
+      val refine = (vs.size / k) + 1
+      val got = AnnPq.topK(df, queries, k, cb, refine = refine)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+      val valid = vs.zipWithIndex.collect {
+        case (v, id) if norm(v) > 0.0 => id.toLong -> v }.toMap
+      val want = (0L until 6L).collect {
+        case q if valid.contains(q) =>
+          q -> valid.toSeq.filter(_._1 != q)
+            .map { case (cid, v) => (cid, cos(valid(q), v)) }
+            .sortBy { case (cid, c) => (-c, cid) }.take(k)
+      }.toMap
+      assert(got == want, s"sample $i: exhaustive-refine PQ diverged from brute force")
+    }
+  }
+
   test("sign-LSH results are sound: exact scores, dense ordered ranks, no self/zero-norm pairs") {
     val k = 5
     for ((vs, i) <- samples(corpusGen, seed = 160101L, n = 4).zipWithIndex) {

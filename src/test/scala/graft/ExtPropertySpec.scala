@@ -476,6 +476,44 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // --------------------------------------------------------------- 14.
 
+  test("n-gram Jaccard ≡ all-pairs filter within (lang, length-bucket) blocks") {
+    import graft.ext.NgramJaccard
+    val pool = (0 until 20).map(i => s"tok$i")
+    val corpusGen = for {
+      bases <- Gen.listOfN(3, Gen.choose(8, 16).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool))))
+      nDocs <- Gen.choose(4, 18)
+      docs <- Gen.listOfN(nDocs, for {
+        b <- Gen.oneOf(bases)
+        mut <- Gen.choose(0, 3)
+        extra <- Gen.listOfN(mut, Gen.oneOf(pool))
+        lang <- Gen.oneOf("en", "de")
+      } yield ((b ++ extra).mkString(" "), lang))
+    } yield docs
+    for ((rows, i) <- samples(corpusGen, seed = 131401L, n = 5).zipWithIndex) {
+      val bucketWidth = 20
+      val docs = rows.zipWithIndex.map { case ((t, l), j) =>
+        (j.toLong, t, l, t.length.toLong) }.toDF("doc_id", "text", "lang", "n_chars")
+      val grams = docs.select(col("doc_id"),
+          graft.functions.HashedNgrams.of(col("text"), 5).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val block = rows.zipWithIndex.map { case ((t, l), j) =>
+        j.toLong -> (l, t.length / bucketWidth) }.toMap
+      val want = (for {
+        a <- grams.keys; b <- grams.keys
+        if a < b && block(a) == block(b)
+        inter = grams(a).intersect(grams(b)).size
+        j = inter.toDouble / (grams(a).size + grams(b).size - inter)
+        if j >= 0.3
+      } yield (a, b) -> j).toMap
+      val got = NgramJaccard.pairs(docs, 5, 0.3, bucketWidth)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == want, s"sample $i: missing=${want.toSet -- got.toSet} " +
+        s"spurious=${got.toSet -- want.toSet}")
+    }
+  }
+
+  // --------------------------------------------------------------- 15.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
