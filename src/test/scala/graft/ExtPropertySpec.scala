@@ -514,6 +514,40 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // --------------------------------------------------------------- 15.
 
+  test("mixture epochs ≡ driver replay of the hash-bucket copy rule, order keys included") {
+    import graft.ext.TextStats
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 12), 16) % 100L
+    val gen = for {
+      nDocs <- Gen.choose(1, 50)
+      srcs <- Gen.listOfN(nDocs, Gen.oneOf("web", "books", "code"))
+      rWeb <- Gen.choose(0, 120)
+      rBooks <- Gen.choose(0, 350)
+      dflt <- Gen.choose(0, 100)
+    } yield (srcs, rWeb, rBooks, dflt)
+    for (((srcs, rWeb, rBooks, dflt), i) <- samples(gen, seed = 131501L, n = 5).zipWithIndex) {
+      val docs = srcs.zipWithIndex.map { case (s, j) => (j.toLong, s, "txt") }
+        .toDF("doc_id", "source", "text")
+      val rates = Map("web" -> rWeb, "books" -> rBooks)
+      val seedStr = s"mix$i"
+      val want = srcs.zipWithIndex.flatMap { case (s, j) =>
+        val rate = rates.getOrElse(s, dflt)
+        val copies = rate / 100 + (if (bucket(j.toLong) < rate % 100) 1 else 0)
+        (1 to copies).map(e => (j.toLong, s, e, md5hex(s"$seedStr:$j:$e")))
+      }.toSet
+      val got = TextStats.mixtureEpochs(
+          docs.orderBy(rand(11 + i)).repartition(5), rates, dflt, seedStr)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      assert(got == want, s"sample $i (rates=$rates dflt=$dflt): " +
+        s"missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  // --------------------------------------------------------------- 16.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
