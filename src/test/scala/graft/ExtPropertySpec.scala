@@ -548,6 +548,83 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
 
   // --------------------------------------------------------------- 16.
 
+  private val noisyEdgesGen: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 18L), Gen.choose(0L, 18L))))
+
+  private def simpleUnd(edges: List[(Long, Long)]): Set[(Long, Long)] =
+    edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+
+  private def triangleCounts(und: Set[(Long, Long)]): Map[Long, Long] = {
+    val nbrs = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    nbrs.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count {
+        case Seq(a, b) => und.contains((math.min(a, b), math.max(a, b))) }.toLong
+    }.filter(_._2 > 0)
+  }
+
+  test("per-node triangle counts ≡ driver enumeration on noisy multigraphs") {
+    import graft.ext.Triangles
+    for ((edges, i) <- samples(noisyEdgesGen, seed = 131601L, n = 6).zipWithIndex) {
+      val want = triangleCounts(simpleUnd(edges))
+      val got = Triangles.perNode(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"sample $i (${edges.size} edges): " +
+        s"missing=${want.toSet -- got.toSet} spurious=${got.toSet -- want.toSet}")
+    }
+  }
+
+  // --------------------------------------------------------------- 17.
+
+  test("capped triangles ≡ exact triangles on the degree-bounded induced subgraph") {
+    import graft.ext.Triangles
+    val cap = 4L
+    for ((edges, i) <- samples(noisyEdgesGen, seed = 131701L, n = 6).zipWithIndex) {
+      val und = simpleUnd(edges)
+      val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val kept = deg.filter(_._2 <= cap).keySet
+      val induced = und.filter { case (a, b) => kept(a) && kept(b) }
+      val want = triangleCounts(induced)
+      val got = Triangles.perNodeCapped(edges.toDF("src", "dst"), maxDegree = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"sample $i: missing=${want.toSet -- got.toSet} " +
+        s"spurious=${got.toSet -- want.toSet}")
+    }
+  }
+
+  // --------------------------------------------------------------- 18.
+
+  test("label propagation ≡ driver synchronous replay (weighted votes, ties to smallest)") {
+    import graft.ext.LabelPropagation
+    for ((edges, i) <- samples(noisyEdgesGen, seed = 131801L, n = 5).zipWithIndex) {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      // in-neighbor multiset per dst: parallel edges weight the vote
+      val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var labels = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to 3) {
+        val prev = labels
+        labels = nodes.map { n =>
+          inN.get(n) match {
+            case None | Some(Nil) => n -> prev(n)
+            case Some(srcs) =>
+              val votes = srcs.map(prev).groupBy(identity).view.mapValues(_.size).toMap
+              // max votes, ties to the SMALLEST label
+              n -> votes.toSeq.minBy { case (lbl, v) => (-v, lbl) }._1
+          }
+        }.toMap
+      }
+      val got = LabelPropagation.communities(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == labels, s"sample $i: " +
+        s"diff=${(got.toSet -- labels.toSet) ++ (labels.toSet -- got.toSet)}")
+    }
+  }
+
+  // --------------------------------------------------------------- 19.
+
   test("sequence packing preserves the corpus; layout is the running-sum law; partition-invariant") {
     val gen = for {
       nDocs <- Gen.choose(1, 40)
