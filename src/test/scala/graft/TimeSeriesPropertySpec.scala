@@ -65,6 +65,91 @@ class TimeSeriesPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  private val eventLogGen: Gen[List[(Long, Long, Long, String, Double)]] =
+    Gen.choose(1, 45).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 1209600L) // 14 days of seconds
+      typ <- Gen.oneOf("purchase", "view", "click")
+      v <- Gen.choose(0, 99)
+    } yield (u, t, 0L, typ, v.toDouble)))
+      .map(_.zipWithIndex.map { case ((u, t, _, ty, v), id) => (u, t, id.toLong, ty, v) })
+
+  private val LogBase = Timestamp.valueOf("2024-01-10 00:00:00").getTime / 1000L
+
+  private def logDf(rows: List[(Long, Long, Long, String, Double)]): DataFrame =
+    rows.map { case (u, t, id, ty, v) =>
+      (id, new Timestamp((LogBase + t) * 1000L), u, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def tierOf(v: Double): String = if (v < 20) "low" else if (v < 60) "mid" else "high"
+
+  test("SCD2 intervals ≡ driver gaps-and-islands over the change log") {
+    for ((rows, i) <- samples(eventLogGen, seed = 180201L, n = 6).zipWithIndex) {
+      val got = TimeSeriesQueries.scd2Intervals(logDf(rows))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime),
+          r.getInt(4), r.getInt(5))).toSet
+      val want = rows.filter(_._4 == "purchase").groupBy(_._1).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        val changes = sorted.zip(None +: sorted.map(e => Some(tierOf(e._5))))
+          .collect { case (e, prev) if !prev.contains(tierOf(e._5)) => e }
+        changes.zipWithIndex.map { case (e, idx) =>
+          val to = changes.lift(idx + 1).map(n => (LogBase + n._2) * 1000L)
+          (u, tierOf(e._5), (LogBase + e._2) * 1000L, to, idx + 1,
+            if (to.isEmpty) 1 else 0)
+        }
+      }.toSet
+      assert(got == want, s"sample $i: " +
+        s"diff=${(got -- want) ++ (want -- got)}")
+    }
+  }
+
+  test("funnel ≡ driver sequential first-reach scan") {
+    for ((rows, i) <- samples(eventLogGen, seed = 180301L, n = 6).zipWithIndex) {
+      val got = TimeSeriesQueries.funnel(logDf(rows))
+        .collect().map(r => r.getLong(0) ->
+          (r.getTimestamp(1).getTime,
+            Option(r.getTimestamp(2)).map(_.getTime),
+            Option(r.getTimestamp(3)).map(_.getTime),
+            r.getInt(4), r.getInt(5))).toMap
+      val byUser = rows.groupBy(_._1)
+      val want = byUser.flatMap { case (u, evs) =>
+        def minAtOrAfter(typ: String, lo: Long): Option[Long] =
+          evs.filter(e => e._4 == typ && e._2 >= lo).map(_._2).minOption
+        evs.filter(_._4 == "view").map(_._2).minOption.map { tv =>
+          val tc = minAtOrAfter("click", tv)
+          val tp = tc.flatMap(c => minAtOrAfter("purchase", c))
+          u -> ((LogBase + tv) * 1000L,
+            tc.map(t => (LogBase + t) * 1000L), tp.map(t => (LogBase + t) * 1000L),
+            if (tc.isDefined) 1 else 0, if (tp.isDefined) 1 else 0)
+        }
+      }
+      assert(got == want, s"sample $i: " +
+        s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+    }
+  }
+
+  test("incremental SCD2 merge ≡ full recompute, for any cutoff") {
+    val gen = for {
+      rows <- eventLogGen
+      cutoffT <- Gen.choose(0L, 1209600L)
+    } yield (rows, cutoffT)
+    for (((rows, cutoffT), i) <- samples(gen, seed = 180401L, n = 5).zipWithIndex) {
+      val df = logDf(rows)
+      val cutoff = new Timestamp((LogBase + cutoffT) * 1000L).toString.stripSuffix(".0")
+      def canon(out: DataFrame): Set[(Long, String, Long, Option[Long], Int, Int)] =
+        out.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime),
+          r.getInt(4), r.getInt(5))).toSet
+      val merged = canon(TimeSeriesQueries.scd2Merge(df, cutoff)
+        .select("user_id", "tier", "valid_from", "valid_to", "version", "is_current"))
+      val full = canon(TimeSeriesQueries.scd2Intervals(df)
+        .select("user_id", "tier", "valid_from", "valid_to", "version", "is_current"))
+      assert(merged == full, s"sample $i (cutoff $cutoff): " +
+        s"diff=${(merged -- full) ++ (full -- merged)}")
+    }
+  }
+
   test("resample+ffill ≡ driver carry-forward over the per-user daily spine") {
     val base = Date.valueOf("2024-03-01").toLocalDate
     val gen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, for {
