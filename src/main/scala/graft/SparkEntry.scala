@@ -80,6 +80,7 @@ object SparkEntry {
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
     "q35_coupon_flag", "ml_fpgrowth_pairs", "ml_kmeans_lloyd", "ml_churn_twin",
+    "ml_als_twin",
     // layout queries last: q37 replicates its build side 8x and q38
     // writes two bucketed warehouse tables inside the measured window —
     // nothing should run downstream of their footprint

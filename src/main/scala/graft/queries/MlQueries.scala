@@ -90,6 +90,19 @@ object MlQueries {
       }),
       None),
 
+    // M11 hash-gated twin: a rank-2 implicit ALS (Hu-Koren confidences,
+    // closed-form 2x2 alternating solves on an integer factor grid,
+    // md5-derived init) that DuckDB replays as an unrolled CTE chain --
+    // the ml_kmeans_lloyd/ml_churn_twin pattern applied to matrix
+    // factorization; the Spark ML ALS below stays the product path and
+    // the argued no_oracle posture
+    "ml_als_twin" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        AlsTwin.recommend(c.orders, c.lineitem)
+      }),
+      Some(AlsTwin.oracle())),
+
     // M11: ALS implicit top-5
     "ml_als_recommend" -> (
       ((s: SparkSession, d: String) => {
