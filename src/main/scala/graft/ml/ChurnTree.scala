@@ -195,7 +195,9 @@ object ChurnTree {
       val out = assign(ex, Tree(Split(1, 0L), Split(1, 0L), Split(1, 0L),
         new Array[Long](4), new Array[Long](4))).limit(0).localCheckpoint(true)
       ex.unpersist()
-      return out
+      // same ordered-output contract as the normal path (uniform even
+      // though the frame is empty today)
+      return out.orderBy(col("custkey"), col("partkey"))
     }
     val tree = fit(fitRows)
     val res = assign(ex, tree).localCheckpoint(true)

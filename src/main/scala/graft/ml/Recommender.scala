@@ -38,18 +38,23 @@ object Recommender {
     * the product catalog itself (the planted A/B in MlSpec proves the
     * eval detects signal; this provides signal on real tables).
     *
-    * Scale shape: two broadcast-sized dimension joins (customer, part)
-    * onto the fact join [[ratings]] already pays, one filter, the same
-    * group-by — no new shuffle of the fact table.
+    * Scale shape: two narrow dimension joins (customer, part) onto the
+    * fact join [[ratings]] already pays, one filter, the same group-by
+    * — no new shuffle of the fact table. The dimension sides carry NO
+    * hard broadcast hint: at eval scale AQE broadcasts them on its own,
+    * and at the 100 TB design point customer/part are multi-GB
+    * dimensions where a forced broadcast would mean a driver-side
+    * collect/OOM — the planner's size-based choice is the right one at
+    * both ends.
     */
   def preferenceRatings(orders: DataFrame, lineitem: DataFrame,
                         customer: DataFrame, part: DataFrame): DataFrame = {
     val matched = pmod(xxhash64(col("c_mktsegment")), lit(affinityBlocks)) ===
       pmod(xxhash64(col("p_brand")), lit(affinityBlocks))
     orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .filter(matched || col("l_quantity") >= 46)
       .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))

@@ -26,8 +26,23 @@ import java.sql.Timestamp
   * Every corpus derives from an explicit seed; a failure is a permanent
   * regression case.
   */
-class StreamingPropertySpec extends AnyFunSuite with SharedSpark {
+class StreamingPropertySpec extends AnyFunSuite with SharedSpark
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // one staging root per suite run, removed in afterAll — stage() below
+  // allocates under it, so repeated test runs don't leak parquet dirs
+  private lazy val stageRoot =
+    java.nio.file.Files.createTempDirectory("graft_streamprop")
+
+  override def afterAll(): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(stageRoot))
+      Files.walk(stageRoot).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    super.afterAll()
+  }
 
   private def samples[A](g: Gen[A], seed: Long, n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
@@ -56,7 +71,7 @@ class StreamingPropertySpec extends AnyFunSuite with SharedSpark {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
   private def stage(df: DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_streamprop")
+    val dir = java.nio.file.Files.createTempDirectory(stageRoot, "sample")
     df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("events").toString)
     dir.resolve("events").toString
   }
