@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * North-star extension: treat image/audio/video payloads as `binary`
   * columns with typed metadata, and run decode / feature-extraction as a
   * per-partition batch stage. The Spark-side plumbing — schema, batch
-  * shape, partition-parallel execution, deterministic fake features — is
-  * real and tested; the actual media decode is STUBBED (no codec libs in
-  * this container): [[FakeDecoder.decode]] is a clearly-marked
-  * deterministic stand-in with the exact signature a JNI/FFmpeg-backed
-  * decoder would have.
+  * shape, partition-parallel execution — is real and tested, and the
+  * [[Decoder]] seam carries two implementations: [[ImageIoDecoder]], a
+  * REAL JDK-imageio-backed decoder that parses PNG/GIF/BMP headers
+  * (exercised on generated genuine image payloads in ImageIoDecoderSpec),
+  * and [[FakeDecoder]], the deterministic SQL-replayable stand-in the
+  * gated mm1/mm2 queries default to (a DuckDB oracle cannot decode a
+  * PNG; the fake's arithmetic it can replay bit-exactly).
   *
   * Scale design: payloads never shuffle — metadata extraction is a
   * projection; anything needing grouping first reduces to (id, features).
@@ -61,6 +63,60 @@ object Multimodal {
       val n = bytes.length
       val first = if (n > 0) bytes(0) & 0xff else 0
       MediaFeatures(id, n, first, width = n % 640, height = (n * 7) % 480, n_frames = n % 16 + 1)
+    }
+  }
+
+  /** REAL codec-backed decoder on the [[Decoder]] seam: JDK
+    * `javax.imageio` (PNG/GIF/BMP/JPEG readers ship with the JRE — zero
+    * new dependencies, no display, no network). This is the proof the
+    * seam carries an implementation that actually parses bytes it did
+    * not fabricate: width/height come from the image header, n_frames
+    * from the reader's frame count (GIF animations > 1).
+    *
+    * Contract posture (DecoderContractSpec runs this through the same
+    * conformance harness as the stub):
+    *
+    *  - **pure**: a fresh reader per call over a memory-cached stream
+    *    (no temp-file cache, no shared state); the decode is a function
+    *    of the byte array alone;
+    *  - **total**: undecodable or truncated payloads — including the
+    *    text blobs the documents table carries — return a well-formed
+    *    row with width/height/n_frames = 0 instead of throwing (the
+    *    one-corrupt-blob-in-10^10 posture);
+    *  - **serializable**: a stateless object.
+    *
+    * [[FakeDecoder]] stays the DEFAULT for the gated mm1/mm2 queries
+    * because its arithmetic is SQL-replayable (the DuckDB oracle can't
+    * decode PNGs); this decoder is the production drop-in, exercised
+    * end-to-end on generated real PNG/GIF payloads in
+    * ImageIoDecoderSpec.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val n = bytes.length
+      val first = if (n > 0) bytes(0) & 0xff else 0
+      if (n == 0) return MediaFeatures(id, 0, 0, 0, 0, 0)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) MediaFeatures(id, n, first, 0, 0, 0)
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            val frames =
+              try reader.getNumImages(true)
+              catch { case _: Exception => 1 }
+            MediaFeatures(id, n, first, w, h, frames)
+          } catch {
+            // header claims an image but the payload is truncated/corrupt
+            case _: Exception => MediaFeatures(id, n, first, 0, 0, 0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     }
   }
 

@@ -53,6 +53,12 @@ class DecoderContractSpec extends AnyFunSuite with SharedSpark {
 
   conformance("FakeDecoder", Multimodal.FakeDecoder)
 
+  // the REAL codec-backed implementation (JDK imageio) through the same
+  // harness — the seam's contract holds for a decoder that actually
+  // parses bytes (ImageIoDecoderSpec covers genuine image payloads;
+  // here the corpus is text blobs, which it must survive as total rows)
+  conformance("ImageIoDecoder (real codec)", Multimodal.ImageIoDecoder)
+
   // drop-in proof: a second, structurally different implementation built
   // only against the trait passes the same harness and flows through the
   // same pipeline — the shape a codec-backed decoder would take
