@@ -88,14 +88,15 @@ object Bench {
       val secs = (1 to runs).map { _ =>
         // cold-plan guarantee (no CacheManager hit) + cross-query reset
         hygiene()
+        val runLoad = loadAvg
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
-        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok, runLoad)
       }
       val ok = secs.forall(_._2)
-      (name, if (ok) secs.map(_._1).min else -1.0, ok, secs.map(_._1), qLoad)
+      (name, if (ok) secs.map(_._1).min else -1.0, ok, secs.map(t => (t._1, t._3)), qLoad)
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -103,14 +104,23 @@ object Bench {
     // sampled as each query started: the drift-diagnosis channel — a
     // slow MIN with quiet load is a regression, a slow min with one slow
     // run or climbing load is the machine
-    val runsDetail = results.map { case (k, _, _, ts, _) =>
+    def fmt(t: Double): String =
       // Locale.ROOT: the default-locale f"" interpolator writes a comma
       // decimal separator under comma-decimal locales, corrupting the
       // JSON line (every other number here is Double.toString, which is
       // locale-independent)
-      "\"" + k + "\":[" +
-        ts.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-          .mkString(",") + "]"
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val runsDetail = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => fmt(t._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // loadavg sampled immediately before EACH timed run (post-hygiene):
+    // with per-run load next to per-run time, one record adjudicates
+    // machine-vs-regression per query — a slow min whose own run-load
+    // was quiet is a regression, a slow min under climbing load is the
+    // machine (the r12 verdict's g2 phantom needed a second pair run to
+    // decide this; now the artifact itself carries the answer)
+    val runLoads = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => fmt(t._2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, _, _, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
@@ -118,7 +128,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail,"run_loads":$runLoads}"""
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     System.out.println(line)
