@@ -43,13 +43,31 @@ object Triangles {
 
   /** [[perNode]] with the closure filter forced onto the partitioned
     * semi-join form — the branch [[countUnd]] auto-selects past
-    * [[bloomLiteralMaxEdges]] oriented edges, exposed directly so the
-    * web-scale path is testable (hash-parity vs the Bloom form in
-    * ExtSpec) and measurable (GraphScaleProbe's `g2_semijoin` points)
+    * [[bloomBroadcastMaxEdges]] oriented edges, exposed directly so the
+    * web-scale endgame path is testable (hash-parity vs the Bloom forms
+    * in ExtSpec) and measurable (GraphScaleProbe / ProbeClosurePrune)
     * without synthesizing a 10^8-edge graph.
     */
   private[graft] def perNodeSemiJoinClosure(edges: DataFrame): DataFrame =
     countUnd(undSimple(edges), -1L)
+
+  /** [[perNode]] with the closure filter forced onto the
+    * BROADCAST-VARIABLE Bloom pre-prune + semi-join form — the regime
+    * [[countUnd]] auto-selects between [[bloomLiteralMaxEdges]] and
+    * [[bloomBroadcastMaxEdges]] oriented edges (the r12 verdict's
+    * "distributed pre-prune" item, shipped after ProbeClosurePrune
+    * measured it 1.38× faster than the unpruned semi-join and 1.76×
+    * faster than the plan literal at 24M edges). Same distributive
+    * bloom build as the literal form, but the sketch ships as a
+    * torrent-broadcast variable (one copy per EXECUTOR, outside the
+    * serialized plan) and evaluates through a scala UDF on a
+    * precomputed xxhash64 column; survivors still verify through the
+    * shuffled-hash closing join, so false positives cost shuffle bytes,
+    * never correctness. Row-identical to both other forms (pinned in
+    * ExtSpec next to the semi-join parity law).
+    */
+  private[graft] def perNodeBroadcastBloomClosure(edges: DataFrame): DataFrame =
+    countUnd(undSimple(edges), -2L)
 
   /** Degree-capped exact triangle counts — the 100×-scale companion to
     * [[perNode]]. Exact wedge enumeration is O(m^1.5): the bound is
@@ -82,15 +100,35 @@ object Triangles {
     out
   }
 
-  /** Above this oriented-edge count the closure filter switches from the
-    * driver-literal Bloom to the partitioned semi-join (see the branch
-    * comment in [[countUnd]]). At 1% FPP the serialized filter is
-    * ~1.2 MB per million oriented edges (m bits ≈ 9.6m), so the literal
-    * is ~120 MB at the cap — already generous for a plan constant; past
-    * it the literal (shipped inside the serialized plan to EVERY task)
-    * stops being a prune and starts being the bottleneck.
+  /** Above this oriented-edge count the closure filter stops embedding
+    * the Bloom sketch as a PLAN LITERAL (see the branch comment in
+    * [[countUnd]]). At 1% FPP the serialized filter is ~1.2 MB per
+    * million oriented edges (m bits ≈ 9.6m) and the literal ships inside
+    * the serialized plan to EVERY task — ProbeClosurePrune measured the
+    * literal form 1.76× SLOWER than the broadcast-variable form at 24M
+    * edges (51.5 s vs 29.3 s, `bench_records/r13_closure_prune_probe
+    * .json`), all of it task-binary deserialization of the 29 MB
+    * literal. 10^7 keeps the literal ≤ ~12 MB, where the two forms
+    * measure equal (6.42 vs 6.35 s at 2.4M edges) and the literal keeps
+    * whole-stage codegen.
     */
-  private[graft] val bloomLiteralMaxEdges: Long = 100000000L
+  private[graft] val bloomLiteralMaxEdges: Long = 10000000L
+
+  /** Above [[bloomLiteralMaxEdges]] and up to this bound the closure
+    * prune ships the same distributively-built sketch as a TORRENT
+    * BROADCAST (one copy per executor, outside the plan) and evaluates
+    * it through a scala UDF in front of the shuffled-hash closing join
+    * — measured 1.38× faster than the unpruned semi-join at 24M edges
+    * (29.3 s vs 40.5 s, the r13 probe, ≥ the 1.3× ship bar, under
+    * HIGHER ambient load). 4·10^8 caps the broadcast at ~480 MB —
+    * comfortably under Spark's 2 GB broadcast hard limit and a
+    * reasonable executor-memory ask at the 100 TB design point; past it
+    * the sketch itself becomes the memory problem and the closure
+    * becomes the plain partitioned semi-join (no driver/executor
+    * materialization of anything, memory bounded by the build side per
+    * partition).
+    */
+  private[graft] val bloomBroadcastMaxEdges: Long = 400000000L
 
   private def undSimple(edges: DataFrame): DataFrame =
     edges
@@ -155,36 +193,60 @@ object Triangles {
     // rows at the sf0.1 co-purchase graph) but only ~#triangles of it
     // survives the closing probe (1.9M there) — shuffling every wedge to
     // the (a, b) join is mostly wasted I/O (measured 10.2 s of g2's
-    // cost). Two forms, selected by the oriented edge count:
+    // cost). THREE forms, selected by the oriented edge count (the
+    // ladder measured in bench_records/r13_closure_prune_probe.json —
+    // all three row-identical, pinned in ExtSpec):
     //
-    // m ≤ bloomMaxEdges — driver-literal Bloom: a filter of the closing
-    // edge keys drops non-closing wedges MAP-SIDE (before the shuffle)
-    // at 1% false-positive rate; the exact equi-join then verifies
-    // survivors, so false positives cost only shuffle bytes, never
-    // correctness — the same broadcast-sketch-prunes-the-shuffle pattern
-    // as [[BloomPrune]] and [[Decontaminate]]. The filter is built
-    // distributively (stat.bloomFilter = treeAggregate over the cached
-    // oriented list); only the finished sketch (~1.2 MB per million
-    // edges at 1% FPP) lands on the driver and re-embeds as a plan
-    // literal (the AnnIvf plan-constant license — Spark's own
+    // m ≤ bloomLiteralMaxEdges — plan-literal Bloom: a filter of the
+    // closing edge keys drops non-closing wedges MAP-SIDE (before the
+    // shuffle) at 1% false-positive rate; the exact equi-join then
+    // verifies survivors, so false positives cost only shuffle bytes,
+    // never correctness — the same broadcast-sketch-prunes-the-shuffle
+    // pattern as [[BloomPrune]] and [[Decontaminate]]. The filter is
+    // built distributively (stat.bloomFilter = treeAggregate over the
+    // cached oriented list); only the finished sketch (~1.2 MB per
+    // million edges at 1% FPP) lands on the driver and re-embeds as a
+    // plan literal (the AnnIvf plan-constant license — Spark's own
     // runtime-filter aggregate is not in the public function registry,
-    // and might_contain requires a foldable filter side).
+    // and might_contain requires a foldable filter side). Stays inside
+    // whole-stage codegen; ≤ ~12 MB of literal at the cap.
     //
-    // m > bloomMaxEdges — partitioned semi-join: the literal would
-    // exceed ~120 MB and ship inside the serialized plan to every task,
-    // so the closure filter becomes the closing join itself, planned as
-    // a SHUFFLED HASH join with the oriented list as the build side:
-    // both sides hash-partition on (a, b), each reducer builds a hash
-    // map of its m/P closing keys and streams its wedges through — no
-    // driver materialization of anything, no sort of the wedge stream
-    // (sort-merge would pay O(w log w) on the big side), memory bounded
-    // by the BUILD side per partition (raise P with m). The wedges
-    // shuffle unpruned — that is the honest cost of dropping the
-    // driver literal, linear in the wedge count and embarrassingly
-    // partitioned (GraphScaleProbe's g2_semijoin points measure it at
-    // 1x/10x edges next to the Bloom form).
+    // bloomLiteralMaxEdges < m ≤ bloomBroadcastMaxEdges — the SAME
+    // sketch as a broadcast VARIABLE + UDF pre-prune in front of the
+    // shuffled-hash closing join: one torrent-shipped copy per executor
+    // instead of a copy inside every task's serialized plan (at 24M
+    // edges the literal's per-task deserialization alone made it 1.76×
+    // slower). The UDF leaves whole-stage codegen — at these wedge
+    // volumes the saved shuffle dwarfs it (1.38× vs the unpruned
+    // semi-join at 24M edges, measured under HIGHER ambient load).
+    //
+    // m > bloomBroadcastMaxEdges — partitioned semi-join: past ~480 MB
+    // the sketch itself is the memory problem, so the closure filter
+    // becomes the closing join itself, planned as a SHUFFLED HASH join
+    // with the oriented list as the build side: both sides
+    // hash-partition on (a, b), each reducer builds a hash map of its
+    // m/P closing keys and streams its wedges through — no
+    // driver/executor materialization of anything, no sort of the wedge
+    // stream (sort-merge would pay O(w log w) on the big side), memory
+    // bounded by the BUILD side per partition (raise P with m). The
+    // wedges shuffle unpruned — the honest cost of dropping every
+    // sketch, linear in the wedge count and embarrassingly partitioned.
     val tri =
       if (m == 0) wedgeKeys.limit(0).join(closing, Seq("a", "b"))
+      else if (bloomMaxEdges == -2L ||
+               (bloomMaxEdges >= 0L && m > bloomMaxEdges && m <= bloomBroadcastMaxEdges)) {
+        // mid-regime broadcast-variable form (forced by the -2 sentinel
+        // from [[perNodeBroadcastBloomClosure]]; -1 forces the
+        // semi-join): same sketch, broadcast instead of plan-embedded,
+        // UDF instead of the native BloomFilterMightContain (whose
+        // filter side must be foldable)
+        val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+        val bfB = oriented.sparkSession.sparkContext.broadcast(bf)
+        val mc = udf((h: Long) => bfB.value.mightContainLong(h))
+        wedgeKeys
+          .where(mc(expr("xxhash64(a, b)")))
+          .join(closing.hint("shuffle_hash"), Seq("a", "b"))
+      }
       else if (m <= bloomMaxEdges) {
         val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
         val bos = new java.io.ByteArrayOutputStream()

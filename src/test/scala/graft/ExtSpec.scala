@@ -336,6 +336,13 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     val semi = Triangles.perNodeSemiJoinClosure(noisy.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(semi == got, s"semi-join closure diverged: $semi vs $got")
+
+    // the broadcast-variable Bloom pre-prune form (the ProbeClosurePrune
+    // candidate) must also agree row-for-row: same sketch, different
+    // shipping (broadcast var vs plan literal) + semi-join verify
+    val bcast = Triangles.perNodeBroadcastBloomClosure(noisy.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast == got, s"broadcast-bloom closure diverged: $bcast vs $got")
   }
 
   test("FuzzyJoin: finds substitution AND indel-shift pairs; cap drops stopword blocks") {
