@@ -128,4 +128,23 @@ class ChaosRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       AnnIvf.topKLloyd(e, e.filter(col("vec_id") < 10), 5),
       AnnIvf.topKLloyd(chaos(e), chaos(e).filter(col("vec_id") < 10), 5))
   }
+
+  // The deterministic ML twins ride a bounded driver fit
+  // (orderBy().limit().collect() of the smallest keys) followed by a
+  // literal projection: the fit SAMPLE itself must be attempt-invariant
+  // or the whole hash-gated contract silently breaks under recompute.
+
+  test("ml_als_twin (bounded fit + closed-form solves) is bit-identical under injected task retries") {
+    val c = Catalog(spark, sf)
+    underChaos("ml_als_twin")(
+      graft.ml.AlsTwin.recommend(c.orders, c.lineitem),
+      graft.ml.AlsTwin.recommend(chaos(c.orders), chaos(c.lineitem)))
+  }
+
+  test("ml_churn_twin (bounded fit + exact-Gini tree) is bit-identical under injected task retries") {
+    val c = Catalog(spark, sf)
+    underChaos("ml_churn_twin")(
+      graft.ml.ChurnTree.scores(c.customer, c.orders, c.lineitem),
+      graft.ml.ChurnTree.scores(chaos(c.customer), chaos(c.orders), chaos(c.lineitem)))
+  }
 }
