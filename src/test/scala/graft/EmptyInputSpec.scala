@@ -91,4 +91,18 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     assert(ml.SegmentationLloyd.segments(customer0, orders0).count() == 0L)
   }
+
+  test("churn and ALS twins return empty on empty fact tables (the empty-fit branches)") {
+    val customer0 = Seq.empty[(Long, Double, String)]
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders0 = Seq.empty[(Long, Long, java.sql.Date)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem0 = Seq.empty[(Long, Long, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    assert(ml.ChurnTree.scores(customer0, orders0, lineitem0).count() == 0L)
+    assert(ml.AlsTwin.recommend(orders0, lineitem0).count() == 0L)
+    // the early returns honor the cache-release contract too
+    assert(org.apache.spark.sql.GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "an empty-fit early return leaked a build cache")
+  }
 }
