@@ -41,26 +41,55 @@ object OlapQueries {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
+  /** Per-invocation temp-view suffix. The serving mode runs registry
+    * queries concurrently on ONE long-lived session, and temp views live
+    * in the session catalog: two in-flight queries registering the same
+    * view name race between registration and `spark.sql`'s (eager)
+    * analysis — the loser silently computes over the winner's catalog.
+    * Unique names make the collision impossible; the views are dropped
+    * as soon as analysis has inlined them, so nothing accumulates in
+    * the catalog either.
+    */
+  private val viewEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register `frames` under uniquely-suffixed temp-view names, run
+    * `sql` (given the resolved name for each base name), drop the views.
+    * Dropping after `spark.sql` returns is safe: analysis is eager and
+    * inlines a view's plan, so the returned frame no longer reads the
+    * catalog entry.
+    */
+  private def withTempViews(s: SparkSession, frames: (String, DataFrame)*)
+                           (sql: Map[String, String] => DataFrame): DataFrame = {
+    val tag = viewEpoch.incrementAndGet()
+    val names = frames.map { case (base, df) =>
+      val unique = s"${base}_$tag"
+      df.createOrReplaceTempView(unique)
+      base -> unique
+    }.toMap
+    try sql(names)
+    finally names.valuesIterator.foreach(s.catalog.dropTempView)
+  }
+
   /** SQL-text API parity (F4): the same star join as q3 expressed through
     * `spark.sql` over registered temp views.
     */
   private def sqlApi(s: SparkSession, d: String): DataFrame = {
     val c = Catalog(s, d)
-    c.lineitem.createOrReplaceTempView("v_lineitem")
-    c.supplier.createOrReplaceTempView("v_supplier")
-    c.nation.createOrReplaceTempView("v_nation")
-    c.region.createOrReplaceTempView("v_region")
-    s.sql(
-      """SELECT n_name,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_lines
-        |FROM v_lineitem
-        |JOIN v_supplier ON l_suppkey = s_suppkey
-        |JOIN v_nation ON s_nationkey = n_nationkey
-        |JOIN v_region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'EUROPE'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin)
+    withTempViews(s,
+      "v_lineitem" -> c.lineitem, "v_supplier" -> c.supplier,
+      "v_nation" -> c.nation, "v_region" -> c.region) { v =>
+      s.sql(
+        s"""SELECT n_name,
+           |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_lines
+           |FROM ${v("v_lineitem")}
+           |JOIN ${v("v_supplier")} ON l_suppkey = s_suppkey
+           |JOIN ${v("v_nation")} ON s_nationkey = n_nationkey
+           |JOIN ${v("v_region")} ON n_regionkey = r_regionkey
+           |WHERE r_name = 'EUROPE'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name ASC""".stripMargin)
+    }
   }
 
   /** q54's rate/z-score expressions, ONE literal string parsed by both
@@ -169,15 +198,16 @@ object OlapQueries {
     "q52_grouping_sets" -> (
       ((s: SparkSession, d: String) => {
         val c = Catalog(s, d)
-        c.lineitem.createOrReplaceTempView("v_lineitem")
-        s.sql(
-          """SELECT l_returnflag, l_linestatus, l_shipdate,
-            |  count(*) AS n,
-            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-            |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
-            |  CAST(grouping(l_shipdate) AS INT) AS g_sd
-            |FROM v_lineitem
-            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipdate))""".stripMargin)
+        withTempViews(s, "v_lineitem" -> c.lineitem) { v =>
+          s.sql(
+            s"""SELECT l_returnflag, l_linestatus, l_shipdate,
+               |  count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               |  CAST(grouping(l_shipdate) AS INT) AS g_sd
+               |FROM ${v("v_lineitem")}
+               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipdate))""".stripMargin)
+        }
       }),
       Some("""SELECT l_returnflag, l_linestatus, l_shipdate,
              |  count(*) AS n,

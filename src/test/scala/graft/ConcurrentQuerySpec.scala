@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Registry thread-safety under the serving mode's execution model: ONE
+  * long-lived session, queries submitted concurrently (SURVEY §3 EP3 —
+  * the interactive-shell replacement). Spark itself is thread-safe per
+  * session; the hazard is ENGINE state shared through the session — the
+  * session catalog above all. The concrete bug class this spec pins:
+  * q25/q52 used to register fixed-name temp views (`v_lineitem`, ...),
+  * so two in-flight invocations raced between registration and
+  * `spark.sql`'s eager analysis, and the loser silently computed over
+  * the winner's catalog — wrong RESULTS, not an error. OlapQueries now
+  * registers per-invocation unique names and drops them post-analysis;
+  * this spec drives the exact interleaving that raced (the same two
+  * queries, concurrently, against two DIFFERENT sf catalogs) and
+  * asserts every concurrent result is bit-identical to its sequential
+  * baseline.
+  */
+class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
+
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** (query name, sf dir) work items — the raced pair (q25 shares the
+    * old view names with q52) across two catalogs, plus DataFrame-API
+    * registry entries to keep the pool genuinely interleaved.
+    */
+  private val work: Seq[(String, String)] = Seq(
+    "q25_sql_api" -> sfSmall,
+    "q25_sql_api" -> sfMid,
+    "q52_grouping_sets" -> sfSmall,
+    "q52_grouping_sets" -> sfMid,
+    "q3_join_agg" -> sfSmall,
+    "q22_rollup" -> sfSmall,
+    "q17_global_agg" -> sfMid,
+    "q6_topk" -> sfSmall)
+
+  test("concurrent registry invocations on one session match their sequential baselines") {
+    val baselines: Map[(String, String), Seq[String]] =
+      work.map { case (q, d) => (q, d) -> canon(SparkEntry.queries(q)(spark, d)) }.toMap
+    // cross-catalog divergence guard: if the two sf dirs ever produced
+    // identical q25 output, the race this spec exists to catch would be
+    // invisible — fail loudly instead of passing vacuously
+    assert(baselines(("q25_sql_api", sfSmall)) != baselines(("q25_sql_api", sfMid)),
+      "q25 baselines for the two catalogs coincide — the race would be undetectable")
+
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      for (round <- 1 to 5) {
+        val futures = scala.util.Random.shuffle(work).map { case (q, d) =>
+          Future((q, d, canon(SparkEntry.queries(q)(spark, d))))
+        }
+        val results = Await.result(Future.sequence(futures), Duration.Inf)
+        for ((q, d, got) <- results)
+          assert(got == baselines((q, d)),
+            s"round $round: $q on $d diverged under concurrent execution " +
+              "(session-shared state raced)")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("no temp views survive a q25/q52 invocation (catalog left clean)") {
+    SparkEntry.queries("q25_sql_api")(spark, sfSmall).count()
+    SparkEntry.queries("q52_grouping_sets")(spark, sfSmall).count()
+    val leftover = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("v_"))
+    assert(leftover.isEmpty, s"temp views leaked into the session catalog: ${leftover.mkString(", ")}")
+  }
+}
