@@ -55,9 +55,11 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
 
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // seeded: submission order varies per round but reproduces across runs
+    val rng = new scala.util.Random(13)
     try {
       for (round <- 1 to 5) {
-        val futures = scala.util.Random.shuffle(work).map { case (q, d) =>
+        val futures = rng.shuffle(work).map { case (q, d) =>
           Future((q, d, canon(SparkEntry.queries(q)(spark, d))))
         }
         val results = Await.result(Future.sequence(futures), Duration.Inf)
