@@ -71,6 +71,36 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
     } finally pool.shutdown()
   }
 
+  /** The caching operator family under concurrency: g2/the ML twins
+    * cache intermediate frames keyed by PLAN, so two concurrent
+    * invocations of the same query share one CacheManager entry and the
+    * first finisher's `unpersist` yanks it mid-flight from the other —
+    * legal (a cache is a hint; the miss recomputes), and the recompute
+    * is deterministic (the chaos lane's guarantee), so results must not
+    * change. This pins the cache-drop interleaving the sequential soak
+    * (CacheHygieneSpec) never produces, and that the caches still drain
+    * once every concurrent holder has returned.
+    */
+  test("caching operators survive concurrent same-plan invocation with caches drained after") {
+    val caching = Seq("g2_triangles", "ml_als_twin", "ml_churn_twin", "ml_kmeans_lloyd")
+    val baselines = caching.map(q => q -> canon(SparkEntry.queries(q)(spark, sfSmall))).toMap
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      for (round <- 1 to 3) {
+        // two in-flight copies of each query: same plan, shared cache entry
+        val futures = (caching ++ caching).map { q =>
+          Future((q, canon(SparkEntry.queries(q)(spark, sfSmall))))
+        }
+        for ((q, got) <- Await.result(Future.sequence(futures), Duration.Inf))
+          assert(got == baselines(q),
+            s"round $round: $q diverged under concurrent same-plan execution")
+      }
+    } finally pool.shutdown()
+    assert(org.apache.spark.sql.GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "concurrent invocations left entries in the CacheManager")
+  }
+
   test("no temp views survive a q25/q52 invocation (catalog left clean)") {
     SparkEntry.queries("q25_sql_api")(spark, sfSmall).count()
     SparkEntry.queries("q52_grouping_sets")(spark, sfSmall).count()
