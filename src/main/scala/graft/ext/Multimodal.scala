@@ -192,14 +192,20 @@ object Multimodal {
        |FROM framed WHERE frame_idx % $stride = 0""".stripMargin
 
   /** Oracle for the fake-decode pipeline (the fake is arithmetic on byte
-    * length + first byte, so SQL can replay it).
+    * length + first byte, so SQL can replay it). Byte semantics
+    * throughout: `encode(text)` is the UTF-8 payload (a bare
+    * `CAST(text AS BLOB)` rejects non-ASCII in DuckDB), and the first
+    * BYTE comes from the hex form — `ascii(substr(text,1,1))` returns
+    * the first CODEPOINT, which diverges from the engine's first byte on
+    * multi-byte text (r13 unicode parity probe).
     */
   val oracle: String =
     """SELECT doc_id,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-      |  CAST(COALESCE(ascii(substr(text, 1, 1)), 0) AS INT) AS first_byte,
-      |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
-      |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height,
-      |  CAST(octet_length(CAST(text AS BLOB)) % 16 + 1 AS INT) AS n_frames
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) END AS INT) AS first_byte,
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+      |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+      |  CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
       |FROM documents""".stripMargin
 }

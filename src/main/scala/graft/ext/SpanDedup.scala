@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *     collisions can never emit a false pair.
   *
   * Grid semantics (what the oracle replays): a span is reported iff both
-  * occurrences start on the sampling grid (byte offset divisible by
+  * occurrences start on the sampling grid (CHARACTER offset divisible by
   * `stride`). Stride 1 is the exhaustive form; stride > 1 is the scale
   * form and detects grid-aligned repeats — exact duplicates and
   * copy-from-offset-0 near-duplicates stay detectable at any stride,
@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Grid windows as `(doc_id, pos, h)` — pos is the 0-based byte offset
-    * of the window start (`idx * stride` for the idx-th emitted hash).
+  /** Grid windows as `(doc_id, pos, h)` — pos is the 0-based CHARACTER
+    * offset of the window start (`idx * stride` for the idx-th emitted
+    * hash), the same unit every downstream `substring`/`substr` uses.
     */
   def windows(documents: DataFrame, window: Int, stride: Int): DataFrame =
     documents

@@ -22,22 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** The three quality counts, fetched from ONE RegexCounts pass (the
-    * identical subtree is shared by subexpression elimination when a
-    * projection needs several of them).
+  /** Marker-word counting contract, PORTABLE across regex engines:
+    * extract the ASCII-alphanumeric tokens (`[A-Za-z0-9]+` — Java and
+    * RE2 agree exactly on pure ASCII classes) and count membership in a
+    * fixed word list. The earlier `\b(word|...)\b` form was
+    * engine-DEPENDENT on non-ASCII text: Java's `\b` is Unicode-aware
+    * (a combining mark extends the word, so `"á"` hides the
+    * stopword) while DuckDB/RE2's `\b` is ASCII (boundary before the
+    * mark, stopword counted) — caught by the r13 unicode parity probe.
+    * `lowerFirst` lowercases each TOKEN (ASCII-only by construction, so
+    * Java and utf8proc case mapping coincide — lowercasing the whole
+    * text first would re-introduce divergence via İ-style full-case
+    * mappings).
     */
-  private def qualityCounts(text: Column): (Column, Column, Column) = {
-    val c = graft.functions.RegexCounts.of(
-      text, Seq("\\S+", stopwordPattern, "[^A-Za-z0-9 ]"))
-    (element_at(c, 1), element_at(c, 2), element_at(c, 3))
+  private def tokenMemberCount(text: Column, words: Seq[String], lowerFirst: Boolean): Column = {
+    val toks = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+    size(filter(toks, t => (if (lowerFirst) lower(t) else t).isin(words: _*)))
   }
 
-  /** The three language marker counts from one pass over lower(text). */
-  private def langCounts(text: Column): (Column, Column, Column) = {
-    val c = graft.functions.RegexCounts.of(lower(text),
-      Seq("\\b(the|and|of|to|is)\\b", "\\b(el|la|de|que|es)\\b", "\\b(le|la|de|et|est)\\b"))
-    (element_at(c, 1), element_at(c, 2), element_at(c, 3))
+  /** The matching DuckDB fragment for [[tokenMemberCount]]. */
+  private def tokenMemberCountSql(textCol: String, words: Seq[String], lowerFirst: Boolean): String = {
+    val tok = if (lowerFirst) "lower(t)" else "t"
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(regexp_extract_all($textCol, '[A-Za-z0-9]+'), t -> $tok IN ($list)))"
   }
+
+  /** The three quality counts: words and punctuation from ONE
+    * RegexCounts pass, stopwords under the portable token contract.
+    */
+  private def qualityCounts(text: Column): (Column, Column, Column) = {
+    val c = graft.functions.RegexCounts.of(text, Seq("\\S+", "[^A-Za-z0-9 ]"))
+    (element_at(c, 1), tokenMemberCount(text, stopwords, lowerFirst = false), element_at(c, 2))
+  }
+
+  /** The three language marker counts — the portable token contract,
+    * case-insensitive via per-token lowering.
+    */
+  private def langCounts(text: Column): (Column, Column, Column) =
+    (tokenMemberCount(text, enMarkers, lowerFirst = true),
+      tokenMemberCount(text, esMarkers, lowerFirst = true),
+      tokenMemberCount(text, frMarkers, lowerFirst = true))
 
   /** BPE-ish subword proxy: letter runs, digit runs, or single punctuation
     * marks — the usual pre-tokenizer split that upper-bounds BPE tokens.
@@ -68,7 +92,10 @@ object TextStats {
       |       ELSE 0.0 END AS chars_per_word
       |FROM documents""".stripMargin
 
-  private val stopwordPattern = "\\b(the|a|of|and|to|in|is|it)\\b"
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val enMarkers = Seq("the", "and", "of", "to", "is")
+  private val esMarkers = Seq("el", "la", "de", "que", "es")
+  private val frMarkers = Seq("le", "la", "de", "et", "est")
 
   /** Word count as a bare Column (shared by [[qualityScore]] and the
     * join-free survivor filters in [[CorpusPipeline.curateFiltered]]).
@@ -115,9 +142,9 @@ object TextStats {
   }
 
   val qualityOracle: String =
-    """WITH q AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
-      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS n_stopwords,
+    s"""WITH q AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
+      |  CAST(${tokenMemberCountSql("text", stopwords, lowerFirst = false)} AS INT) AS n_stopwords,
       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_punct
       |FROM documents)
       |SELECT doc_id, n_words, n_stopwords, n_punct,
@@ -180,7 +207,7 @@ object TextStats {
   val modelQualityOracle: String =
     s"""WITH q AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
-       |  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|it)\\b')) AS INT) AS n_stopwords,
+       |  CAST(${tokenMemberCountSql("text", stopwords, lowerFirst = false)} AS INT) AS n_stopwords,
        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_punct,
        |  length(text) AS n_chars
        |FROM documents),
@@ -249,10 +276,10 @@ object TextStats {
   }
 
   val langIdOracle: String =
-    """WITH s AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS INT) AS en_score,
-      |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) AS INT) AS es_score,
-      |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|est)\b')) AS INT) AS fr_score
+    s"""WITH s AS (SELECT doc_id,
+      |  CAST(${tokenMemberCountSql("text", enMarkers, lowerFirst = true)} AS INT) AS en_score,
+      |  CAST(${tokenMemberCountSql("text", esMarkers, lowerFirst = true)} AS INT) AS es_score,
+      |  CAST(${tokenMemberCountSql("text", frMarkers, lowerFirst = true)} AS INT) AS fr_score
       |FROM documents)
       |SELECT doc_id, en_score, es_score, fr_score,
       |  CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'

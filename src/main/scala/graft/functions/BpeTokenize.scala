@@ -18,12 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The vocabulary is DATA checked into the repo (this object): full
   * words, their space-prefixed merge forms (GPT-style), and 2-char
   * subword pieces; any byte with no vocab match is consumed as a
-  * single-character fallback token (byte-level BPE behavior, so the
+  * single-BYTE fallback token (byte-level BPE behavior — a 4-byte emoji
+  * with no merge is 4 fallback tokens, as in GPT-style byte BPE — so the
   * count is total and never fails on OOV text).
   *
   * Greedy semantics the DuckDB oracle replays step for step: at each
-  * position take the LONGEST vocab token matching, else advance one
-  * character; every emission (vocab or fallback) counts 1.
+  * BYTE position take the LONGEST vocab token matching, else advance one
+  * byte; every emission (vocab or fallback) counts 1.
   */
 object BpeTokenize {
 
@@ -77,26 +78,39 @@ object BpeTokenize {
 
   /** DuckDB replay of [[countTokens]] as a recursive CTE: one step per
     * emitted token, advancing by the longest vocab match at the cursor
-    * (or 1 for the fallback). Emits `name(doc_id, n_bpe_tokens)` CTEs;
-    * prepend `WITH RECURSIVE` and select from `name`.
+    * (or 1 for the fallback). The cursor walks BYTES, exactly like the
+    * engine: the text becomes its UTF-8 byte sequence via
+    * `hex(encode(text))` and every position/length is doubled into hex
+    * digits — the vocabulary is pure ASCII, so vocab matches land on
+    * identical byte offsets in both engines and only the fallback stride
+    * (1 byte, never 1 character) needed the byte-exact form (the
+    * earlier per-character replay over-merged multi-byte characters —
+    * r13 unicode parity probe). Emits `name(doc_id, n_bpe_tokens)`
+    * CTEs; prepend `WITH RECURSIVE` and select from `name`.
     */
   def oracleCtes(name: String, table: String = "documents"): String = {
     val values = vocab.map(t => s"('$t')").mkString(", ")
     s"""bpe_vocab(tok) AS (VALUES $values),
+       |bpe_vhx AS (
+       |  SELECT tok, hex(encode(tok)) AS thx, octet_length(encode(tok)) AS tlen
+       |  FROM bpe_vocab),
+       |bpe_docs AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+       |  FROM $table),
        |bpe_step AS (
-       |  SELECT doc_id, 1 AS pos, 0 AS n FROM $table
+       |  SELECT doc_id, 1 AS pos, 0 AS n FROM bpe_docs
        |  UNION ALL
        |  SELECT s.doc_id,
-       |    s.pos + coalesce((SELECT max(len(tok)) FROM bpe_vocab
-       |                      WHERE len(tok) > 1
-       |                        AND substr(d.text, s.pos, len(tok)) = tok), 1),
+       |    s.pos + coalesce((SELECT max(tlen) FROM bpe_vhx
+       |                      WHERE tlen > 1
+       |                        AND substr(d.hx, 2 * (s.pos - 1) + 1, 2 * tlen) = thx), 1),
        |    s.n + 1
-       |  FROM bpe_step s JOIN $table d USING (doc_id)
-       |  WHERE s.pos <= len(d.text)),
+       |  FROM bpe_step s JOIN bpe_docs d USING (doc_id)
+       |  WHERE s.pos <= d.nb),
        |$name AS (
        |  SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_bpe_tokens
-       |  FROM bpe_step s JOIN $table d USING (doc_id)
-       |  WHERE s.pos > len(d.text))""".stripMargin
+       |  FROM bpe_step s JOIN bpe_docs d USING (doc_id)
+       |  WHERE s.pos > d.nb)""".stripMargin
   }
 }
 

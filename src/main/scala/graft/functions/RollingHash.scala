@@ -63,13 +63,18 @@ object RollingHash {
     column(new RollingHash(expression(c)))
   }
 
-  /** DuckDB oracle fragment computing the identical fold via `ascii`
-    * (equal to the byte fold for ASCII corpora).
+  /** DuckDB oracle fragment computing the identical UTF-8 BYTE fold:
+    * `hex(encode(text))` turns the string into its byte sequence as an
+    * ASCII hex string, and each `substr` pair is one byte — so the
+    * replay agrees with the engine on EVERY input, not just ASCII (the
+    * earlier per-character `ascii()` form coincided with the byte fold
+    * on ASCII corpora but diverged on multi-byte text — caught by the
+    * r13 unicode parity probe).
     */
   def oracleSql(textCol: String): String =
     s"""list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, length($textCol) + 1),
-       |        i -> CAST(ascii(substr($textCol, i, 1)) AS BIGINT))),
+       |      list_transform(range(1, octet_length(encode($textCol)) + 1),
+       |        i -> CAST(('0x' || substr(hex(encode($textCol)), 2*i - 1, 2)) AS BIGINT))),
        |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 }

@@ -11,46 +11,70 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Shared grid-window Karp-Rabin hashing for span-level dedup.
   *
   * Emits the [[RollingHash]] fold (`h = fold(bytes, (h*31+b) mod 1e9+7)`)
-  * of every `window`-byte substring starting at byte offsets
+  * of every `window`-CHARACTER substring starting at character offsets
   * `0, stride, 2*stride, …` — the fixed sampling grid that makes
   * cross-document repeated-span detection a bucketed equi-join instead of
-  * an all-substrings comparison. One O(n) pass per document: the hash
-  * slides by one byte (subtract the outgoing byte times `31^(window-1)`,
-  * multiply by 31, add the incoming byte) and only grid positions are
-  * emitted, so `stride` controls output density (and downstream shuffle
-  * volume), not scan cost.
+  * an all-substrings comparison. Positions and window width are
+  * CHARACTERS (codepoints) so they mean the same thing to every later
+  * stage — [[graft.ext.SpanDedup]]'s `substring` verify and removal, and
+  * the oracle's `substr` grid, are all character-indexed; the hash
+  * itself folds the window's UTF-8 BYTES, so it still equals
+  * [[RollingHash]] of the extracted span. (The pre-r13 form gridded by
+  * BYTE offsets, which coincides with characters only on ASCII — on
+  * multi-byte text the downstream character-based `substring` read a
+  * DIFFERENT span than the one hashed. Caught by the r13 unicode parity
+  * probe.)
+  *
+  * One O(n) pass per document via prefix folds: with `H[i]` the fold of
+  * the first `i` bytes and `P[i] = 31^i`, the fold of bytes `[l, r)` is
+  * `H[r] − H[l]·P[r−l] (mod M)` — constant work per grid position even
+  * though windows vary in BYTE length on multi-byte text.
   *
   * Bit-parity contract for the DuckDB oracle: each emitted value equals
-  * [[RollingHash]] of `substr(text, pos+1, window)` — for ASCII corpora
-  * the byte fold equals the `ascii` codepoint fold the oracle replays
-  * (same caveat as [[RollingHash]]).
+  * [[RollingHash]] of `substr(text, pos+1, window)` — for ALL text, not
+  * just ASCII (SpanDedupSpec pins it on the corpus,
+  * UnicodeParitySpec on adversarial text).
   */
 object WindowHashing {
 
   private val Mod = 1000000007L
 
   /** Grid-window hashes; empty array when the text is shorter than
-    * `window` (such docs can never share a full span).
+    * `window` CHARACTERS (such docs can never share a full span).
     */
   def windowHashes(text: UTF8String, window: Int, stride: Int): GenericArrayData = {
     val bytes = text.getBytes
-    val n = bytes.length
-    if (n < window) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long]((n - window) / stride + 1)
-    var pow = 1L // 31^(window-1) mod Mod — the outgoing byte's weight
-    var k = 1
-    while (k < window) { pow = pow * 31L % Mod; k += 1 }
-    var h = 0L
+    val nb = bytes.length
+    // character count = UTF-8 lead bytes (continuation bytes are 10xxxxxx)
+    var nc = 0
     var i = 0
-    while (i < window) { h = (h * 31L + (bytes(i) & 0xff)) % Mod; i += 1 }
-    out(0) = h
-    var p = 1
-    var emitted = 1
-    while (p <= n - window) {
-      h = ((h + Mod - (bytes(p - 1) & 0xff) * pow % Mod) % Mod * 31L +
-        (bytes(p + window - 1) & 0xff)) % Mod
-      if (p % stride == 0) { out(emitted) = h; emitted += 1 }
-      p += 1
+    while (i < nb) { if ((bytes(i) & 0xc0) != 0x80) nc += 1; i += 1 }
+    if (nc < window) return new GenericArrayData(Array.emptyLongArray)
+    // cs(k) = byte offset of the k-th character; cs(nc) = nb
+    val cs = new Array[Int](nc + 1)
+    var c = 0
+    i = 0
+    while (i < nb) { if ((bytes(i) & 0xc0) != 0x80) { cs(c) = i; c += 1 }; i += 1 }
+    cs(nc) = nb
+    // prefix folds and powers of 31, both mod M
+    val pre = new Array[Long](nb + 1)
+    val pow = new Array[Long](nb + 1)
+    pow(0) = 1L
+    i = 0
+    while (i < nb) {
+      pre(i + 1) = (pre(i) * 31L + (bytes(i) & 0xff)) % Mod
+      pow(i + 1) = pow(i) * 31L % Mod
+      i += 1
+    }
+    val out = new Array[Long]((nc - window) / stride + 1)
+    var e = 0
+    var p = 0
+    while (p <= nc - window) {
+      val l = cs(p)
+      val r = cs(p + window)
+      out(e) = ((pre(r) - pre(l) * pow(r - l) % Mod) + Mod) % Mod
+      e += 1
+      p += stride
     }
     new GenericArrayData(out)
   }
