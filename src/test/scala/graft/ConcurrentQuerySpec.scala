@@ -82,6 +82,11 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
     * once every concurrent holder has returned.
     */
   test("caching operators survive concurrent same-plan invocation with caches drained after") {
+    // the session is JVM-shared across suites: start from a clean
+    // CacheManager (the CacheHygieneSpec precedent) so the drain
+    // assertion below measures THIS test's residue, not an earlier
+    // suite's leak
+    spark.catalog.clearCache()
     val caching = Seq("g2_triangles", "ml_als_twin", "ml_churn_twin", "ml_kmeans_lloyd")
     val baselines = caching.map(q => q -> canon(SparkEntry.queries(q)(spark, sfSmall))).toMap
     val pool = Executors.newFixedThreadPool(8)

@@ -36,6 +36,7 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
     assert(lsh.collect().forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+    cand.unpersist(); e.unpersist()
   }
 
   test("ANN LSH candidatePairs: stop-bucket cap drops hot buckets") {
@@ -65,6 +66,7 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     val lloyd = pairs(AnnIvf.topKLloyd(e, q, 5))
     val lloydRecall = lloyd.intersect(want).size.toDouble / want.size
     assert(lloydRecall >= 0.3, s"Lloyd-IVF recall@5 = $lloydRecall")
+    e.unpersist()
   }
 
   test("Lloyd fit: a corpus smaller than nCells fits fewer cells and stays exact") {
@@ -101,6 +103,7 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     val p = AnnPq.encode(e, cb).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"PQ encode shuffles:\n$p")
     assert(!p.contains("Join"), s"PQ encode joins:\n$p")
+    e.unpersist()
   }
 
   test("incremental dedup: cross pairs only — existing and arriving dups stay silent") {
@@ -135,6 +138,7 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     // BETTER than the corpus-wide PQ scan at the same shortlist size
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.6, s"IVF-PQ recall@5 = $recall")
+    e.unpersist()
   }
 
   test("minhash signature similarity estimates Jaccard for near-identical docs") {

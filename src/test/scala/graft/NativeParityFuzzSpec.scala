@@ -17,8 +17,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * generator keeps the "fuzz" reproducible — a failure here is a
   * permanent regression case, not a flake.
   */
-class NativeParityFuzzSpec extends AnyFunSuite with SharedSpark {
+class NativeParityFuzzSpec extends AnyFunSuite with SharedSpark
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // the session is JVM-shared across suites; a cached corpus left behind
+  // trips the global drain assertions suites later in the run
+  override def afterAll(): Unit = {
+    docs.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   private lazy val corpus: Seq[(Long, String)] = {
     val rnd = new scala.util.Random(20260814L)

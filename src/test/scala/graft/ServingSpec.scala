@@ -35,6 +35,7 @@ class ServingSpec extends AnyFunSuite with SharedSpark {
     val manual = Serving.predictManual(spark, loaded, schema,
       Seq[Any](0L, 1000.0, 5.0, 20000.0, 30.0))
     assert(manual.select("prediction").head().getInt(0) >= 0)
+    features.unpersist()
   }
 
   test("ml_model_roundtrip registry gate: loaded model rescoring matches exactly") {

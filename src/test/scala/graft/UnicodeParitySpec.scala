@@ -21,8 +21,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * engine-side halves of the fixed contracts on adversarial generated
   * text, so a regression fails in `sbt test` without the probe.
   */
-class UnicodeParitySpec extends AnyFunSuite with SharedSpark {
+class UnicodeParitySpec extends AnyFunSuite with SharedSpark
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // the session is JVM-shared across suites; a cached corpus left behind
+  // trips the global drain assertions (ConcurrentQuerySpec / the hygiene
+  // soak) suites later in the run
+  override def afterAll(): Unit = {
+    docs.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   /** Adversarial corpus: CJK, Cyrillic, Greek, Hebrew, combining marks,
     * astral-plane emoji (surrogate pairs), exotic whitespace, ligatures,
