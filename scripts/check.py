@@ -10,7 +10,7 @@ cell-by-cell (exact, including float bits). NOT part of the shipped
 library — driver-side python (duckdb/pandas) is allowed for the dev loop
 only.
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
 import pandas as pd
 
@@ -32,7 +32,11 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # layout-variant dirs (make_layout_variant.py) store each table as
+        # a DIRECTORY of part files; glob those, read plain files directly
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):

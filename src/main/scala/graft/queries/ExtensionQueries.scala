@@ -95,13 +95,69 @@ object ExtensionQueries {
        |FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.cid = l.cid
        |GROUP BY b.qid""".stripMargin
 
+  /** Copy the parquet payload of `src` — a single file OR a directory of
+    * part files, the layout every production table actually has — into
+    * `dstDir` as `<prefix><i>.parquet`. `java.nio.file.Files.copy` on a
+    * directory creates an EMPTY directory (it does not copy contents),
+    * so the pre-fix single-call staging silently produced a footerless
+    * stream source on multi-file tables (the r13 layout-variant sweep
+    * caught all 7 streaming gates failing on a re-laid-out sf dir).
+    * Parts are copied in sorted name order so the file-stream source's
+    * mtime-then-path arrival order stays deterministic.
+    *
+    * Every `*.parquet` regular file already in `dstDir` is deleted
+    * first: the staging dirs outlive the (per-process) memo in /tmp, so
+    * a source whose layout changed between processes would otherwise
+    * leave its old staging alongside the new and double the stream
+    * input. Callers therefore stage the primary payload BEFORE writing
+    * any additional files into the dir (e8 copies its dup slice after).
+    */
+  private def stageParquetPayload(src: java.nio.file.Path,
+                                  dstDir: java.nio.file.Path,
+                                  prefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stale = java.nio.file.Files.list(dstDir)
+    try stale.iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    finally stale.close()
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        finally s.close()
+      } else Seq(src)
+    require(parts.nonEmpty, s"no parquet payload under $src")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, dstDir.resolve(f"$prefix$i%05d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** The events table staged into a scratch DIRECTORY (the file-stream
     * source requires one), memoized per sf path so the copy is paid once
     * per process — NOT inside e4's timed bench window, whose min-of-N
     * contract is that measured queries don't pay bring-up.
+    *
+    * The staging REWRITES the payload into ONE part file rather than
+    * byte-copying the source's own files: under `maxFilesPerTrigger=1`
+    * the file split IS the arrival schedule, and a multi-file layout
+    * that interleaves event time across files (any layout the engine
+    * doesn't control) advances the watermark past rows still waiting in
+    * later files — the stateful gates (e5/e6/e7/e12) then drop them as
+    * late data while the batch oracle counts them (the r13 layout
+    * sweep's finding on a shuffled 7-file variant). One part file means
+    * one micro-batch: the watermark is -inf while every row arrives, so
+    * the "backfill arrives as one batch" contract the oracles replay
+    * holds on EVERY source layout. Multi-trigger arrival stays exercised
+    * where it is semantically pinned: e10's explicit two-file restart
+    * schedule and StreamingPropertySpec's generated disorder laws.
     */
   private val stagedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedEventsDir(d: String): String =
+  private def stagedEventsDir(s: SparkSession, d: String): String =
     stagedEvents.getOrElseUpdate(d, {
       // dir name = sanitized path (readability) + full md5 of the RAW
       // path (collision-freedom): sanitization alone is not injective
@@ -112,10 +168,12 @@ object ExtensionQueries {
       val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_io", "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val rw = dir.toString + "_rw"
+      s.read.parquet(s"$d/events.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(rw)
+      stageParquetPayload(java.nio.file.Paths.get(rw), dir, "events_")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(rw), true)
       dir.toString
     })
 
@@ -135,10 +193,8 @@ object ExtensionQueries {
       val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_io", "e8_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/documents.parquet"),
-        dir.resolve("batch0.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      stageParquetPayload(
+        java.nio.file.Paths.get(s"$d/documents.parquet"), dir, "batch0_")
       val slice = dir.toString + "_slice"
       Catalog(s, d).documents
         .filter(TextStats.docIdBucketCol(100) >= 80)
@@ -638,7 +694,7 @@ object ExtensionQueries {
     // the running sum is arrival-order-independent)
     "e4_stateful_totals" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(d))),
+        graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(s, d))),
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
@@ -651,7 +707,7 @@ object ExtensionQueries {
         // 8 state partitions: the gate's join state is kilobytes, and a
         // stream-stream join opens 4 state stores per partition per side
         graft.streaming.EventStream.runAttributionToCompletion(
-          s, stagedEventsDir(d), 30, statePartitions = Some(8))),
+          s, stagedEventsDir(s, d), 30, statePartitions = Some(8))),
       Some("""SELECT a.user_id,
              |  a.event_id AS view_event_id, b.event_id AS purchase_event_id,
              |  a.ts AS view_ts, b.ts AS purchase_ts
@@ -671,7 +727,7 @@ object ExtensionQueries {
     "e12_stream_outer_join" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runAttributionToCompletion(
-          s, stagedEventsDir(d), 30, queryName = "graft_stream_e12",
+          s, stagedEventsDir(s, d), 30, queryName = "graft_stream_e12",
           statePartitions = Some(8), joinType = "left_outer")),
       Some("""WITH mx AS (
              |  SELECT least(
@@ -706,7 +762,7 @@ object ExtensionQueries {
     "e7_stream_file_sink" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runHourlyToParquet(
-          s, stagedEventsDir(d),
+          s, stagedEventsDir(s, d),
           java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
             "graft_io", "e7_sink").toString)),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -725,7 +781,7 @@ object ExtensionQueries {
     // within one gap of the stream's end stay open in state by design
     "e5_stateful_sessions" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(d), 30)),
+        graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(s, d), 30)),
       Some(s"""WITH marked AS (
               |  SELECT user_id, event_id, ts, value,
               |    CASE WHEN lag(ts) OVER w IS NULL
@@ -768,7 +824,7 @@ object ExtensionQueries {
     "e9_stream_static_join" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStreamStaticToCompletion(
-          s, stagedEventsDir(d), Catalog(s, d).customer)),
+          s, stagedEventsDir(s, d), Catalog(s, d).customer)),
       Some("""SELECT c_nationkey, count(*) AS n_purchases,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
