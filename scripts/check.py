@@ -10,6 +10,7 @@ cell-by-cell (exact, including float bits). NOT part of the shipped
 library — driver-side python (duckdb/pandas) is allowed for the dev loop
 only.
 """
+import numbers
 import os, sys, json, glob, math
 import duckdb
 import pandas as pd
@@ -75,6 +76,14 @@ def main():
                         continue
                     if x != y:
                         bad = (c, i, x, y, abs(x - y))
+                        break
+                elif (isinstance(x, numbers.Number) and isinstance(y, numbers.Number)
+                      and not isinstance(x, bool) and not isinstance(y, bool)):
+                    # a nullable integer column null-promotes to float64 on
+                    # ONE side only (pandas) — 191689641.0 vs 191689641 is
+                    # the same value; compare numerically, still exact
+                    if float(x) != float(y):
+                        bad = (c, i, x, y, None)
                         break
                 elif str(x) != str(y):
                     bad = (c, i, x, y, None)

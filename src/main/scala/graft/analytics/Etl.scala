@@ -81,7 +81,7 @@ object Etl {
     SchemaCompat.ensureWeekNo(base)
       .groupBy(col("store_id"), col("product_id"), col("week_no"))
       .agg(
-        dsum(col("net_sales")).as("total_net_sales"),
+        qsum(col("net_sales")).as("total_net_sales"),
         sum(col("quantity")).as("total_quantity"),
         // unit_price is a division result -> grid-quantized avg (see Exact.qavg)
         qavg(col("unit_price")).as("avg_unit_price"),
@@ -99,7 +99,7 @@ object Etl {
       .agg(
         max(col("day")).as("last_purchase"),
         countDistinct(col("basket_id")).as("frequency"),
-        dsum(col("net_sales")).as("monetary"))
+        qsum(col("net_sales")).as("monetary"))
       .crossJoin(broadcast(maxDay))
       .withColumn("recency", col("global_max_day") - col("last_purchase"))
       .drop("global_max_day", "last_purchase")

@@ -28,7 +28,7 @@ object Events {
   val hourlyOracle: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -55,7 +55,7 @@ object Events {
       |  UNION ALL
       |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
       |SELECT win_start, event_type, count(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
       |FROM x GROUP BY 1, 2""".stripMargin
 
   /** Gap-based sessionization: a new session starts when the gap to the
@@ -119,7 +119,7 @@ object Events {
        |SELECT user_id,
        |  min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+       |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS session_value
        |FROM assigned GROUP BY user_id, session_seq""".stripMargin
 
   def sessionizeOracle(gapMinutes: Int): String =
@@ -137,6 +137,6 @@ object Events {
        |SELECT user_id, session_seq,
        |  min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+       |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS session_value
        |FROM assigned GROUP BY user_id, session_seq""".stripMargin
 }

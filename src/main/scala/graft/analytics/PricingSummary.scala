@@ -26,8 +26,10 @@ object PricingSummary {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         // product rounded back to scale 4 per row before the exact sum:
         // a scale-8 sum can exceed 2^53 quanta at large SF, where the
-        // decimal->double conversion is no longer engine-identical
-        dsum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        // decimal->double conversion is no longer engine-identical.
+        // dsumD keeps the saturating clamp in the DECIMAL domain — the
+        // double-literal clamp in dsum would coerce the exact product
+        qsumD(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
@@ -38,11 +40,11 @@ object PricingSummary {
   /** Oracle SQL (DuckDB) computing the identical result bit-for-bit. */
   val oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(floor(CASE WHEN CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4))) IS NULL OR abs(CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4)))) > CAST(900000000000000.0 AS DECIMAL(38,8)) THEN NULL ELSE CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4))) END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus

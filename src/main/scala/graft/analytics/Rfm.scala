@@ -38,7 +38,7 @@ object Rfm {
       |SELECT o_custkey,
       |  max(o_orderdate) AS last_order_date,
       |  count(DISTINCT o_orderkey) AS frequency,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary,
+      |  CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS monetary,
       |  datediff('day', CAST(max(o_orderdate) AS DATE), CAST((SELECT global_max_date FROM m) AS DATE)) AS recency_days
       |FROM orders
       |GROUP BY o_custkey""".stripMargin

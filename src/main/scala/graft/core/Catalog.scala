@@ -32,5 +32,29 @@ final case class Catalog(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = EventTime.normalizeTs(table("events"))
   def documents: DataFrame  = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+
+  /** Structurally INVALID embeddings — NULL arrays or arrays whose
+    * length is not the corpus dimension — are excluded at the catalog
+    * boundary: every downstream vector operator (quantized dots, LSH
+    * codes, IVF/PQ fits) assumes a rectangular corpus, and a single
+    * jagged row otherwise aborts the whole job (the r13 hostile-values
+    * probe killed all eight ANN gates with one NULL and one truncated
+    * vector). Element-level corruption (NaN/±Inf) stays IN the corpus
+    * under the saturate-or-exclude contract (CorruptVectorSpec).
+    * Oracles mirror with `WHERE len(embedding) = 64`
+    * ([[graft.ext.VectorOps.oracleValidWhere]]).
+    */
+  def embeddings: DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    table("embeddings")
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === Catalog.EmbeddingDim)
+  }
+}
+
+object Catalog {
+  /** The corpus embedding dimension (testdata layout; oracles hardcode
+    * the same constant in `range(1, 65)` element unnesting).
+    */
+  val EmbeddingDim: Int = 64
 }

@@ -296,7 +296,7 @@ object AnnIvf {
     s"""WITH ${VectorOps.oracleElems},
        |cells AS (
        |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
-       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings WHERE len(embedding) = 64 ORDER BY 1 LIMIT $nCells)),
        |c2 AS (
        |  SELECT c.cell, CAST(SUM(ce.x * ce.x) AS BIGINT) AS csq
        |  FROM cells c JOIN el ce ON ce.vec_id = c.cvec GROUP BY 1),
@@ -363,11 +363,11 @@ object AnnIvf {
     // engine's assignQ/probeCellsQ
     val base =
       s"""WITH ${VectorOps.oracleElems},
-         |fids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $maxFitVectors),
+         |fids AS (SELECT vec_id FROM embeddings WHERE len(embedding) = 64 ORDER BY vec_id LIMIT $maxFitVectors),
          |fel AS (SELECT e.* FROM el e JOIN fids f ON f.vec_id = e.vec_id),
          |cells0 AS (
          |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
-         |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+         |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings WHERE len(embedding) = 64 ORDER BY 1 LIMIT $nCells)),
          |cent0 AS (
          |  SELECT c.cell, e.i, e.x AS c FROM cells0 c JOIN fel e ON e.vec_id = c.cvec)""".stripMargin
     val steps = (1 to iters).map { t =>

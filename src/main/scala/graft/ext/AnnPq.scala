@@ -222,9 +222,13 @@ object AnnPq {
                  refine: Int = 10): String = {
     val dsub = 64 / nSub
     s"""WITH ${VectorOps.oracleElems},
+       |cbids AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        WHERE len(embedding) = 64 ORDER BY 1 LIMIT $nCodes)),
        |cb AS (
-       |  SELECT CAST(vec_id AS INT) AS j, CAST((i - 1) // $dsub AS INT) AS m, i, x
-       |  FROM el WHERE vec_id < $nCodes),
+       |  SELECT b.j, CAST((e.i - 1) // $dsub AS INT) AS m, e.i, e.x
+       |  FROM el e JOIN cbids b ON b.vec_id = e.vec_id),
        |csq AS (SELECT m, j, CAST(SUM(x * x) AS BIGINT) AS c2 FROM cb GROUP BY 1, 2),
        |edots AS (
        |  SELECT e.vec_id, c.m, c.j, CAST(SUM(e.x * c.x) AS BIGINT) AS dot
@@ -283,7 +287,7 @@ object AnnPq {
     s"""WITH ${VectorOps.oracleElems},
        |cells AS (
        |  SELECT cvec, CAST(row_number() OVER (ORDER BY cvec) - 1 AS INT) AS cell
-       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings ORDER BY 1 LIMIT $nCells)),
+       |  FROM (SELECT DISTINCT vec_id AS cvec FROM embeddings WHERE len(embedding) = 64 ORDER BY 1 LIMIT $nCells)),
        |cc2 AS (
        |  SELECT c.cell, CAST(SUM(ce.x * ce.x) AS BIGINT) AS csq
        |  FROM cells c JOIN el ce ON ce.vec_id = c.cvec GROUP BY 1),
@@ -306,9 +310,13 @@ object AnnPq {
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
        |    FROM cellscore WHERE vec_id < $maxQid) WHERE rn <= $nProbe),
+       |cbids AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        WHERE len(embedding) = 64 ORDER BY 1 LIMIT $nCodes)),
        |cb AS (
-       |  SELECT CAST(vec_id AS INT) AS j, CAST((i - 1) // $dsub AS INT) AS m, i, x
-       |  FROM el WHERE vec_id < $nCodes),
+       |  SELECT b.j, CAST((e.i - 1) // $dsub AS INT) AS m, e.i, e.x
+       |  FROM el e JOIN cbids b ON b.vec_id = e.vec_id),
        |csq AS (SELECT m, j, CAST(SUM(x * x) AS BIGINT) AS c2 FROM cb GROUP BY 1, 2),
        |edots AS (
        |  SELECT e.vec_id, c.m, c.j, CAST(SUM(e.x * c.x) AS BIGINT) AS dot

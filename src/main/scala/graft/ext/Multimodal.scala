@@ -124,12 +124,19 @@ object Multimodal {
     * stand in for a media blob) plus typed metadata.
     */
   def withPayload(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        col("source").as("origin"),
-        col("n_chars").as("content_hint")).as("meta"))
+    documents
+      // a NULL payload is "no media", not a zero-byte medium: the decode
+      // contract is total on EMPTY payloads (DecoderContractSpec) but a
+      // null byte array has nothing to decode — excluded here, mirrored
+      // by the oracle's WHERE (the r13 hostile probe NPE'd the decoder
+      // on a null-text document otherwise)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          col("source").as("origin"),
+          col("n_chars").as("content_hint")).as("meta"))
 
   /** Partition-parallel decode over the payload batch, through the
     * [[Decoder]] seam (default: the stub). Returns a typed Dataset with
@@ -207,5 +214,5 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
       |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
       |  CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
-      |FROM documents""".stripMargin
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
 }

@@ -72,6 +72,11 @@ object NgramJaccard {
       floor(col("n_chars") / bucketWidth).as("len_bucket"),
       graft.functions.HashedNgrams.of(col("text"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      // a document with no n-grams (null/empty/shorter-than-n text) has
+      // no n-gram similarity — excluded, or the all-empty pair divides
+      // 0/0 at the jaccard (ANSI abort; the r13 hostile probe). Oracle
+      // mirrors with the same n_grams > 0 predicate.
+      .filter(col("n_grams") > 0)
       .cache()
     val a = g.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
       col("grams").as("grams_a"), col("n_grams").as("na"))
@@ -189,9 +194,10 @@ object NgramJaccard {
   }
 
   def oracle(n: Int, threshold: Double, bucketWidth: Int = 50): String =
-    s"""WITH g AS (SELECT doc_id, lang, CAST(floor(n_chars / $bucketWidth) AS BIGINT) AS len_bucket,
+    s"""WITH g0 AS (SELECT doc_id, lang, CAST(floor(n_chars / $bucketWidth) AS BIGINT) AS len_bucket,
        |  ${hashedNgramsSql(n)} AS grams
        |  FROM documents),
+       |g AS (SELECT * FROM g0 WHERE len(grams) > 0),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.grams, b.grams)) AS n_inter,
        |    len(a.grams) AS na, len(b.grams) AS nb

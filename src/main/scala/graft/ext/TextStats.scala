@@ -713,6 +713,11 @@ object TextStats {
     */
   def ksDrift(documents: DataFrame): DataFrame = {
     val g = documents
+      // a document with unknown n_chars has no position on the ECDF
+      // (and NULL sorts differently in the two engines' windows — Spark
+      // NULLS FIRST, DuckDB NULLS LAST — so keeping it would shift the
+      // whole cumulative curve divergently): excluded, oracle mirrors
+      .filter(col("n_chars").isNotNull)
       .select(col("n_chars").as("v"), docIdBucketCol(100).as("bucket"))
       .groupBy(col("v"))
       .agg(
@@ -738,7 +743,8 @@ object TextStats {
        |  SELECT n_chars AS v,
        |    CAST(sum(CASE WHEN bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
        |    CAST(sum(CASE WHEN bucket >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-       |  FROM (SELECT n_chars, ${docIdBucketSql(100)} AS bucket FROM documents)
+       |  FROM (SELECT n_chars, ${docIdBucketSql(100)} AS bucket FROM documents
+       |        WHERE n_chars IS NOT NULL)
        |  GROUP BY 1),
        |c AS (
        |  SELECT v, n_a, n_b,
@@ -862,6 +868,11 @@ object TextStats {
     documents
       .select(col("doc_id"), shard.cast("int").as("shard"),
         tokens.cast("long").as("n_tokens"))
+      // a doc whose token budget is incomputable (null text under a
+      // tokenizer-derived count) cannot be packed — excluded, like the
+      // t9 contract; a null would also silently skip in the running sum
+      // while still claiming a bin row
+      .filter(col("n_tokens").isNotNull)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("shard"), col("n_tokens"),
@@ -873,7 +884,7 @@ object TextStats {
     s"""WITH t AS (SELECT doc_id,
        |  CAST(${docIdBucketSql(nShards)} AS INT) AS shard,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
-       |FROM documents),
+       |FROM documents WHERE text IS NOT NULL),
        |${packOracleTail(tokenBudget)}""".stripMargin
 
   /** The BPE-budget packing oracle (c4b): identical shard/window/bin
@@ -905,10 +916,15 @@ object TextStats {
     * longest-match count beside the whitespace count it refines.
     */
   def bpeTokenCounts(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      nWordsCol(col("text")).cast("long").as("n_ws_tokens"),
-      graft.functions.BpeTokenCount.of(col("text")).as("n_bpe_tokens"))
+    documents
+      // null-text docs have no tokenization (the oracle's recursive CTE
+      // naturally emits no row for them) — excluded by the text-family
+      // contract: text operators run over documents WITH text
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        nWordsCol(col("text")).cast("long").as("n_ws_tokens"),
+        graft.functions.BpeTokenCount.of(col("text")).as("n_bpe_tokens"))
 
   def bpeTokenCountsOracle: String =
     s"""WITH RECURSIVE

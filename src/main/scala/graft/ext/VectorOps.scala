@@ -162,13 +162,27 @@ object VectorOps {
       .toDF("id_a", "id_b", "cosine")
   }
 
+  /** Oracle mirror of the [[graft.core.Catalog.embeddings]] structural
+    * validity filter (NULL arrays fail `len` too).
+    */
+  val oracleValidWhere: String = "len(embedding) = 64"
+
   /** Shared DuckDB CTE prefix: quantized elements and norms over a 64-dim
     * `embedding` column (testdata layout). `SUM(BIGINT)` is HUGEINT in
-    * DuckDB, hence the casts back to BIGINT/DOUBLE.
+    * DuckDB, hence the casts back to BIGINT/DOUBLE. The per-element CASE
+    * mirrors [[quant]]'s saturation contract (NaN → 0, out-of-grid and
+    * ±Inf clamp to ±QMax) — a plain `floor(x * Q)::BIGINT` is identical
+    * on clean data but errors on NaN and overflows on ±Inf exactly where
+    * the engine saturates. Structurally invalid rows are excluded like
+    * the engine catalog does ([[oracleValidWhere]]).
     */
   val oracleElems: String =
     """el AS (SELECT vec_id, i,
-      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS x
-      |       FROM embeddings, range(1, 65) t(i)),
+      |         CASE WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN 0
+      |              WHEN floor(CAST(embedding[i] AS DOUBLE) * 10000000) >= 100000000.0 THEN 100000000
+      |              WHEN floor(CAST(embedding[i] AS DOUBLE) * 10000000) <= -100000000.0 THEN -100000000
+      |              ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) END AS x
+      |       FROM embeddings, range(1, 65) t(i)
+      |       WHERE len(embedding) = 64),
       |norms AS (SELECT vec_id, CAST(SUM(x*x) AS DOUBLE) AS n2 FROM el GROUP BY vec_id)""".stripMargin
 }

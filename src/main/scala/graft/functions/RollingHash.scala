@@ -72,9 +72,12 @@ object RollingHash {
     * r13 unicode parity probe).
     */
   def oracleSql(textCol: String): String =
-    s"""list_reduce(
+    // NULL text has no fingerprint: the engine expression null-propagates
+    // (standard unary-expression semantics) but an unguarded list_reduce
+    // over the NULL-seeded prepend folds to 0 in DuckDB
+    s"""CASE WHEN $textCol IS NULL THEN NULL ELSE list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(1, octet_length(encode($textCol)) + 1),
        |        i -> CAST(('0x' || substr(hex(encode($textCol)), 2*i - 1, 2)) AS BIGINT))),
-       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+       |    (a, b) -> (a * 31 + b) % 1000000007) END""".stripMargin
 }

@@ -99,6 +99,10 @@ object AlsTwin {
     orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("r"))
+      // a pair whose every quantity is NULL has no rating — excluded by
+      // contract (the driver fit reads r with getLong; oracle mirrors
+      // with HAVING ... IS NOT NULL)
+      .filter(col("r").isNotNull)
 
   /** The engine's shared 48-bit md5-prefix hash, computed driver-side:
     * identical to `conv(substring(md5(s), 1, 12), 16, 10)` in Spark
@@ -267,9 +271,10 @@ object AlsTwin {
     }
     s"""WITH rat AS (
        |  SELECT o_custkey AS custkey, l_partkey AS partkey,
-       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+       |    CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS r
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2
+       |  HAVING SUM(CAST(trunc(l_quantity) AS BIGINT)) IS NOT NULL),
        |fq AS (SELECT * FROM rat ORDER BY custkey, partkey LIMIT $maxFitRows),
        |fqc AS (SELECT custkey, partkey, LEAST(r, $ConfCap) AS cm1 FROM fq),
        |if0 AS (

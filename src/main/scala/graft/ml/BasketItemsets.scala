@@ -22,9 +22,16 @@ object BasketItemsets {
       .agg(collect_set(col("l_partkey").cast("string")).as("items"))
 
   /** Frequent itemsets; output canonicalized (sorted items joined by ',')
-    * and deterministically ordered.
+    * and deterministically ordered. `maxSize` caps the EMITTED itemset
+    * size to the size the relational oracle enumerates — at scales where
+    * the support floor rounds to 1 basket (sf0.001 at 1e-4 support) every
+    * itemset of every size is frequent, and an uncapped emit silently
+    * exceeds the oracle's size-bounded replay (found by the r13 hostile
+    * probe running the gate off its usual scale; at sf0.01 no itemset
+    * beyond the cap was frequent, so the gap never showed).
     */
-  def frequentItemsets(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame = {
+  def frequentItemsets(lineitem: DataFrame, minSupport: Double = 0.002,
+                       maxSize: Int = Int.MaxValue): DataFrame = {
     val fp = new FPGrowth().setItemsCol("items")
       .setMinSupport(minSupport).setMinConfidence(0.1)
     // the fit is eager and the model holds its own itemsets frame, so
@@ -34,6 +41,7 @@ object BasketItemsets {
     val model = fp.fit(b)
     b.unpersist()
     model.freqItemsets
+      .filter(size(col("items")) <= maxSize)
       .select(array_join(sort_array(col("items")), ",").as("itemset"), col("freq"))
       .orderBy(col("freq").desc, col("itemset").asc)
   }
@@ -43,7 +51,7 @@ object BasketItemsets {
     * turns the FP-Growth result itself into an oracle-checkable table.
     */
   def frequentItemsetsUpTo2(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame =
-    frequentItemsets(lineitem, minSupport)
+    frequentItemsets(lineitem, minSupport, maxSize = 2)
       .filter(size(split(col("itemset"), ",")) <= 2)
 
   /** Frequent itemsets restricted to size <= 3 — extends the SQL-replayable
@@ -52,7 +60,7 @@ object BasketItemsets {
     * pairs-only gate cannot see).
     */
   def frequentItemsetsUpTo3(lineitem: DataFrame, minSupport: Double = 0.002): DataFrame =
-    frequentItemsets(lineitem, minSupport)
+    frequentItemsets(lineitem, minSupport, maxSize = 3)
       .filter(size(split(col("itemset"), ",")) <= 3)
 
   def upTo3Oracle(minSupport: Double): String =

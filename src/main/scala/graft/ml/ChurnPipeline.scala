@@ -25,12 +25,18 @@ object ChurnPipeline {
                window: Int = 30): DataFrame = {
     val labels = graft.analytics.Repurchase(orders, lineitem, window)
     labels
-      .join(customer, col("custkey") === col("c_custkey"))
+      // null/NaN balances cannot be featurized (VectorAssembler aborts);
+      // null/empty segment strings break StringIndexer's OHE attribute
+      // naming — nulls are the twin's exclusion rule, empties map to a
+      // sentinel category (a real category, "unknown segment")
+      .join(customer.filter(col("c_acctbal").isNotNull && !isnan(col("c_acctbal"))),
+        col("custkey") === col("c_custkey"))
       .select(
         col("custkey"), col("partkey"),
         col("first_day").cast("double").as("first_day"),
         col("c_acctbal").as("acctbal"),
-        col("c_mktsegment").as("mktsegment"),
+        when(col("c_mktsegment").isNull || trim(col("c_mktsegment")) === "",
+          lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("mktsegment"),
         col("repurchased").cast("double").as("label"))
   }
 

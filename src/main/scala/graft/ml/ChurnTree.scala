@@ -77,7 +77,11 @@ object ChurnTree {
     val segRank = customer.select(col("c_mktsegment").as("seg")).distinct()
       .withColumn("f3", dense_rank().over(Window.orderBy(col("seg"))).cast("long"))
     labels
-      .join(customer, col("custkey") === col("c_custkey"))
+      // f2 is the cent-grid fold of the account balance: a NULL (or
+      // NaN) balance has no fold — excluded by contract, mirrored in
+      // the oracle's ex CTE (the segmentation family's rule)
+      .join(customer.filter(col("c_acctbal").isNotNull && !isnan(col("c_acctbal"))),
+        col("custkey") === col("c_custkey"))
       .join(segRank, col("c_mktsegment") === col("seg"))
       .select(
         col("custkey"), col("partkey"),
@@ -255,7 +259,8 @@ object ChurnTree {
        |    s.f3 AS f3,
        |    CAST(l.label AS BIGINT) AS label
        |  FROM lab l JOIN customer c ON c.c_custkey = l.custkey
-       |  JOIN segr s ON s.seg = c.c_mktsegment),
+       |  JOIN segr s ON s.seg = c.c_mktsegment
+       |  WHERE c.c_acctbal IS NOT NULL AND NOT isnan(CAST(c.c_acctbal AS DOUBLE))),
        |fq AS (SELECT * FROM ex ORDER BY custkey, partkey LIMIT $maxFitRows),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fq),
        |ranks AS (

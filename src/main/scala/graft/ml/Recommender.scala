@@ -17,6 +17,9 @@ object Recommender {
     orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
       .agg(sum(col("l_quantity")).cast("float").as("rating"))
+      // ALS hard-rejects null/NaN ratings (an all-NULL-quantity pair,
+      // or NaN through the fact table) — excluded, like preferenceRatings
+      .filter(col("rating").isNotNull && !isnan(col("rating")))
 
   /** Preference-structured implicit matrix derived from correlated
     * catalog columns — the ORGANIC evaluation path. The raw quantity
@@ -60,6 +63,9 @@ object Recommender {
       .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
       .agg(sum(col("l_quantity") * when(matched, lit(10)).otherwise(lit(1)))
         .cast("float").as("rating"))
+      // ALS hard-rejects null/NaN ratings (a pair whose quantities are
+      // all NULL, or a NaN leaking through the fact table) — excluded
+      .filter(col("rating").isNotNull && !isnan(col("rating")))
   }
 
   /** Block count for the segment↔brand affinity hash in

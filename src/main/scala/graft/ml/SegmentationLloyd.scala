@@ -176,7 +176,7 @@ object SegmentationLloyd {
       s"""WITH rfm AS (
          |  SELECT o_custkey,
          |    count(DISTINCT o_orderkey) AS frequency,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary,
+         |    CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS monetary,
          |    datediff('day', CAST(max(o_orderdate) AS DATE),
          |             CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days
          |  FROM orders GROUP BY 1),
@@ -186,7 +186,8 @@ object SegmentationLloyd {
          |    CAST(COALESCE(r.frequency, 0) AS DOUBLE) AS frequency,
          |    COALESCE(r.monetary, 0.0) AS monetary,
          |    CAST(COALESCE(r.recency_days, 0) AS DOUBLE) AS recency_days
-         |  FROM customer c LEFT JOIN rfm r ON r.o_custkey = c.c_custkey),
+         |  FROM customer c LEFT JOIN rfm r ON r.o_custkey = c.c_custkey
+         |  WHERE c.c_acctbal IS NOT NULL AND NOT isnan(CAST(c.c_acctbal AS DOUBLE))),
          |scales AS (
          |  SELECT
          |    CASE WHEN COALESCE(max(abs(acctbal)), 0) = 0 THEN 1.0 ELSE max(abs(acctbal)) END AS s1,

@@ -26,6 +26,11 @@ object SegmentationPipeline {
   def features(customer: DataFrame, orders: DataFrame): DataFrame = {
     val rfm = graft.analytics.Rfm(orders)
     customer
+      // a customer with no account balance cannot be featurized: a NULL
+      // here aborts VectorAssembler (ml pipeline) and quantizes
+      // divergently in the Lloyd twin (null-skipping least/greatest) —
+      // excluded by contract, mirrored in the twin's oracle feats CTE
+      .filter(col("c_acctbal").isNotNull && !isnan(col("c_acctbal")))
       .join(rfm, col("c_custkey") === col("o_custkey"), "left")
       .na.fill(0.0, Seq("monetary"))
       .na.fill(0L, Seq("frequency", "recency_days"))

@@ -422,7 +422,7 @@ object ExtensionQueries {
           AnnIvf.fixedCentroids(e, 16))
       }),
       Some(AnnIvf.fixedTopKOracle(5, 10,
-        candWhere = "a.cid IN (SELECT vec_id FROM embeddings WHERE label <= 2)"))),
+        candWhere = "a.cid IN (SELECT vec_id FROM embeddings WHERE label <= 2 AND len(embedding) = 64)"))),
 
     // product-quantization ANN (third scale path): 32x-compressed codes,
     // integer ADC scan, exact rescore of the k survivors — hash-gated
@@ -696,7 +696,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(s, d))),
       Some("""SELECT user_id, count(*) AS n_events,
-             |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+             |  CAST(COALESCE(SUM(CAST(floor(value * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000 AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
 
     // stream-stream interval join (view -> purchase attribution): inner
@@ -767,7 +767,7 @@ object ExtensionQueries {
             "graft_io", "e7_sink").toString)),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
              |FROM events
              |GROUP BY 1, 2
              |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
@@ -797,7 +797,7 @@ object ExtensionQueries {
               |  SELECT user_id,
               |    min(ts) AS session_start, max(ts) AS session_end,
               |    count(*) AS n_events,
-              |    CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS session_value
+              |    CAST(COALESCE(SUM(CAST(floor(value * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000 AS session_value
               |  FROM assigned GROUP BY user_id, session_seq)
               |SELECT user_id, session_start, session_end, n_events, session_value
               |FROM sess
@@ -826,7 +826,7 @@ object ExtensionQueries {
         graft.streaming.EventStream.runStreamStaticToCompletion(
           s, stagedEventsDir(s, d), Catalog(s, d).customer)),
       Some("""SELECT c_nationkey, count(*) AS n_purchases,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
              |GROUP BY c_nationkey""".stripMargin)),
@@ -844,7 +844,7 @@ object ExtensionQueries {
       }),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
              |FROM events
              |GROUP BY 1, 2
              |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000

@@ -89,7 +89,7 @@ object IoQueries {
     s.read.parquet(s"$tmp/by_week")
       .filter(col("week_no") === 52)
       .groupBy(col("week_no"))
-      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("week_net"))
+      .agg(count(lit(1)).as("n_lines"), qsum(col("net_price")).as("week_net"))
   }
 
   /** ORC round-trip (beyond the reference's formats): write orders to
@@ -125,14 +125,20 @@ object IoQueries {
     val ncsv = CsvIo.read(s, csvFile, CsvIo.nationSchema)
     graft.sources.Writers.json(c.region, s"$tmp/region_json")
     val rjson = s.read.json(s"$tmp/region_json")
+    // TOTAL formatting: concat_ws silently DROPS null fields, so a null
+    // name produced a one-token line and the read-back element_at(2)
+    // ANSI-aborted (the r13 hostile probe). A null length serializes as
+    // the empty token and try_casts back to NULL — the roundtrip is
+    // null-faithful and the oracle's null-skipping SUM(length) agrees.
     graft.sources.Writers.textLines(
-      c.nation.select(concat_ws("|", col("n_nationkey"), length(col("n_name"))).as("value")),
+      c.nation.select(concat(col("n_nationkey").cast("string"), lit("|"),
+        coalesce(length(col("n_name")).cast("string"), lit(""))).as("value")),
       s"$tmp/nation_txt")
     val ntxt = s.read.text(s"$tmp/nation_txt")
       .select(split(col("value"), "\\|").as("kv"))
       .select(
         element_at(col("kv"), 1).cast("int").as("n_nationkey"),
-        element_at(col("kv"), 2).cast("long").as("name_len"))
+        element_at(col("kv"), 2).try_cast("long").as("name_len"))
     ncsv.join(rjson, col("n_regionkey") === col("r_regionkey"))
       .join(ntxt, "n_nationkey")
       .groupBy(col("r_name"))
@@ -176,7 +182,7 @@ object IoQueries {
     s.read.parquet(table)
       .filter(col("week_no").isin(51, 52))
       .groupBy(col("week_no"))
-      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("week_net"))
+      .agg(count(lit(1)).as("n_lines"), qsum(col("net_price")).as("week_net"))
       .orderBy(col("week_no"))
   }
 
@@ -234,7 +240,7 @@ object IoQueries {
     s.read.parquet(table)
       .filter(col("week_no").isin(51, 52))
       .groupBy(col("week_no"), (col("l_orderkey") >= 1000000000L).as("inserted"))
-      .agg(count(lit(1)).as("n_lines"), dsum(col("net_price")).as("total_net"))
+      .agg(count(lit(1)).as("n_lines"), qsum(col("net_price")).as("total_net"))
   }
 
   /** Z-order layout roundtrip: write lineitem clustered on the Morton
@@ -279,20 +285,20 @@ object IoQueries {
              |  SELECT week_no, TRUE AS inserted, net_price * 3 AS net_price
              |  FROM base WHERE week_no = 52 AND l_orderkey % 2 = 1)
              |SELECT week_no, inserted, count(*) AS n_lines,
-             |  CAST(SUM(CAST(net_price AS DECIMAL(18,4))) AS DOUBLE) AS total_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN net_price IS NULL OR isnan(net_price) OR abs(net_price) > 900000000000000.0 THEN NULL ELSE net_price END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS total_net
              |FROM merged GROUP BY 1, 2""".stripMargin)),
 
     "q46_zorder_layout" -> (
       (zOrderRoundtrip _),
       Some("""SELECT count(*) AS n_lines,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
              |FROM lineitem WHERE l_partkey <= 500 AND l_suppkey <= 25""".stripMargin)),
 
     "q41_range_layout" -> (
       (rangeLayoutRoundtrip _),
       Some("""SELECT o_orderpriority, count(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |  CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_price
              |FROM orders
              |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -306,7 +312,7 @@ object IoQueries {
              |    l_extendedprice * (1.0 - l_discount) AS net_price
              |  FROM lineitem)
              |SELECT week_no, count(*) AS n_lines,
-             |  CAST(SUM(CAST(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END AS DECIMAL(18,4))) AS DOUBLE) AS week_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END IS NULL OR isnan(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) OR abs(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) > 900000000000000.0 THEN NULL ELSE CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS week_net
              |FROM base WHERE week_no IN (51, 52)
              |GROUP BY week_no ORDER BY week_no""".stripMargin)),
 
@@ -320,7 +326,7 @@ object IoQueries {
     "q36_orc_roundtrip" -> (
       (orcRoundtrip _),
       Some("""SELECT o_orderpriority, count(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |  CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_price
              |FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY o_orderpriority""".stripMargin)),
 
@@ -328,7 +334,7 @@ object IoQueries {
       (partitionedRoundtrip _),
       Some("""SELECT CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
              |  count(*) AS n_lines,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS week_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN l_extendedprice * (1.0 - l_discount) IS NULL OR isnan(l_extendedprice * (1.0 - l_discount)) OR abs(l_extendedprice * (1.0 - l_discount)) > 900000000000000.0 THEN NULL ELSE l_extendedprice * (1.0 - l_discount) END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS week_net
              |FROM lineitem
              |WHERE CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) = 52
              |GROUP BY 1""".stripMargin)),
@@ -336,7 +342,7 @@ object IoQueries {
     "q20_csv_roundtrip" -> (
       (csvRoundtrip _),
       Some("""SELECT c_mktsegment, count(*) AS n_customers,
-             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+             |  CAST(CAST(SUM(CAST(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) OR abs(c_acctbal) > 99999999999999.9 THEN NULL ELSE c_acctbal END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_acctbal
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     "q42_inferred_csv" -> (
@@ -350,7 +356,7 @@ object IoQueries {
       Some("""WITH tiers(segment, code, priority) AS (
              |  VALUES ('BUILDING', 'B', 1), ('AUTOMOBILE', 'A', 2), ('MACHINERY', 'M', 3))
              |SELECT segment, code, priority, count(*) AS n_customers,
-             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+             |  CAST(CAST(SUM(CAST(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) OR abs(c_acctbal) > 99999999999999.9 THEN NULL ELSE c_acctbal END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_acctbal
              |FROM customer JOIN tiers ON c_mktsegment = segment
              |GROUP BY 1, 2, 3""".stripMargin))
   )

@@ -120,7 +120,7 @@ object MlQueries {
     // replay and upTo3Oracle gates it exactly. If the generator ever
     // produces a frequent quadruple the row-count match fails loudly.
     "ml_fpgrowth" -> (
-      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsets(Catalog(s, d).lineitem, 0.0001)),
+      ((s: SparkSession, d: String) => BasketItemsets.frequentItemsetsUpTo3(Catalog(s, d).lineitem, 0.0001)),
       Some(BasketItemsets.upTo3Oracle(0.0001))),
 
     // FP-Growth restricted to size<=2 itemsets: the frequent-pattern

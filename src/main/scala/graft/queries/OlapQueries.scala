@@ -32,7 +32,7 @@ object OlapQueries {
 
   private val windowFramesOracle: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |  CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
       |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
@@ -80,7 +80,7 @@ object OlapQueries {
       "v_nation" -> c.nation, "v_region" -> c.region) { v =>
       s.sql(
         s"""SELECT n_name,
-           |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  CAST(CAST(SUM(CAST(floor(CASE WHEN CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4))) IS NULL OR abs(CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4)))) > CAST(900000000000000.0 AS DECIMAL(38,8)) THEN NULL ELSE CAST(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR abs(l_extendedprice) > 99999999999999.9 THEN NULL ELSE l_extendedprice END AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(CASE WHEN l_discount IS NULL OR isnan(l_discount) OR abs(l_discount) > 99999999999999.9 THEN NULL ELSE l_discount END AS DECIMAL(19,4))) END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
            |  count(*) AS n_lines
            |FROM ${v("v_lineitem")}
            |JOIN ${v("v_supplier")} ON l_suppkey = s_suppkey
@@ -141,7 +141,7 @@ object OlapQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           grouping_id().as("gid"))),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
@@ -168,8 +168,8 @@ object OlapQueries {
         .agg(dsum(col("l_quantity")))
         .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))),
       Some("""SELECT l_returnflag,
-             |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
-             |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o
+             |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4)) END) AS VARCHAR(64)) AS DOUBLE) AS qty_f,
+             |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4)) END) AS VARCHAR(64)) AS DOUBLE) AS qty_o
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // UNPIVOT (wide measures -> long (measure, val) rows): q45's
@@ -184,7 +184,11 @@ object OlapQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
             col("l_tax")),
-          "measure", "val")),
+          "measure", "val")
+        // SQL-standard UNPIVOT semantics EXCLUDE NULLS (the oracle's
+        // default); Spark's unpivot keeps them — align on the standard:
+        // an unknown measurement has no row in the long format
+        .filter(col("val").isNotNull)),
       Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
              |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
              |         l_discount, l_tax
@@ -202,7 +206,7 @@ object OlapQueries {
           s.sql(
             s"""SELECT l_returnflag, l_linestatus, l_shipdate,
                |  count(*) AS n,
-               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
                |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
                |  CAST(grouping(l_shipdate) AS INT) AS g_sd
                |FROM ${v("v_lineitem")}
@@ -211,7 +215,7 @@ object OlapQueries {
       }),
       Some("""SELECT l_returnflag, l_linestatus, l_shipdate,
              |  count(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
              |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
              |  CAST(GROUPING(l_shipdate) AS INT) AS g_sd
              |FROM lineitem
@@ -267,28 +271,47 @@ object OlapQueries {
     // and the closed forms are identical IEEE expression text in both
     // engines
     "q55_exact_stats" -> (
-      ((s: SparkSession, d: String) => Catalog(s, d).lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(floor(col("l_quantity") * 10000.0).cast("long")).as("sx"),
-          sum(floor(col("l_extendedprice") * 100.0).cast("long")).as("sy"),
-          sum(floor(col("l_quantity") * col("l_quantity") * 10000.0).cast("long")).as("sxx"),
-          sum(floor(col("l_extendedprice") * col("l_extendedprice") * 100.0).cast("long")).as("syy"),
-          sum(floor(col("l_quantity") * col("l_extendedprice") * 100.0).cast("long")).as("sxy"))
-        .selectExpr(Seq("l_returnflag", "n") ++ momentExprs: _*)
-        .orderBy(col("l_returnflag"))),
-      Some(s"""WITH sums AS (
-              |  SELECT l_returnflag, count(*) AS n,
-              |    CAST(sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS sx,
-              |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sy,
-              |    CAST(sum(CAST(floor(l_quantity * l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS sxx,
-              |    CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS syy,
-              |    CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sxy
-              |  FROM lineitem GROUP BY 1)
-              |SELECT l_returnflag, n,
-              |  ${momentExprs.mkString(",\n  ")}
-              |FROM sums ORDER BY l_returnflag""".stripMargin)),
+      ((s: SparkSession, d: String) => {
+        // per-MEASURE stats domains, sized so the worst-case long
+        // accumulation of the squared grids fits at 10^6 rows/group
+        // (n·B²·grid ≤ 2^63; shard the aggregate beyond): quantities
+        // ±10^4 (benign max ~50), prices ±3·10^5 (benign max ~10^5).
+        // Out-of-domain observations are NULL-out like Exact.dec —
+        // saturation would stack huge quanta and overflow the SUM (the
+        // r13 hostile probe did exactly that twice)
+        def sg(c: org.apache.spark.sql.Column, bound: Double) =
+          when(c.isNull || isnan(c) || abs(c) > lit(bound), lit(null))
+            .otherwise(c)
+        val x = sg(col("l_quantity"), 1.0e4); val y = sg(col("l_extendedprice"), 3.0e5)
+        Catalog(s, d).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 10000.0).cast("long")).as("sx"),
+            sum(floor(y * 100.0).cast("long")).as("sy"),
+            sum(floor(x * x * 10000.0).cast("long")).as("sxx"),
+            sum(floor(y * y * 100.0).cast("long")).as("syy"),
+            sum(floor(x * y * 100.0).cast("long")).as("sxy"))
+          .selectExpr(Seq("l_returnflag", "n") ++ momentExprs: _*)
+          .orderBy(col("l_returnflag"))
+      }),
+      Some {
+        def sg(x: String, bound: String) =
+          s"(CASE WHEN $x IS NULL OR isnan($x) OR abs($x) > $bound " +
+            s"THEN NULL ELSE $x END)"
+        val x = sg("l_quantity", "10000.0"); val y = sg("l_extendedprice", "300000.0")
+        s"""WITH sums AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(floor($x * 10000.0) AS BIGINT)) AS BIGINT) AS sx,
+           |    CAST(sum(CAST(floor($y * 100.0) AS BIGINT)) AS BIGINT) AS sy,
+           |    CAST(sum(CAST(floor($x * $x * 10000.0) AS BIGINT)) AS BIGINT) AS sxx,
+           |    CAST(sum(CAST(floor($y * $y * 100.0) AS BIGINT)) AS BIGINT) AS syy,
+           |    CAST(sum(CAST(floor($x * $y * 100.0) AS BIGINT)) AS BIGINT) AS sxy
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ${momentExprs.mkString(",\n  ")}
+           |FROM sums ORDER BY l_returnflag""".stripMargin
+      }),
 
     // analytic window frames: running sum + lag/lead
     "q24_window_frames" -> (windowFrames _, Some(windowFramesOracle)),
@@ -323,7 +346,10 @@ object OlapQueries {
           length(col("p_name")).as("name_len"),
           substring(col("p_name"), 1, 3).as("name_prefix"),
           levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"),
-          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+          // concat (null-propagating, SQL || semantics), not concat_ws
+          // (null-SKIPPING): the oracle's `a || '|' || b` is NULL when
+          // either side is — the two only agree on non-null inputs
+          concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"))),
       Some("""SELECT p_partkey,
              |  lower(p_name) AS name_lower,
              |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
@@ -363,18 +389,29 @@ object OlapQueries {
     // semi-structured JSON column extraction + aggregate
     "q26_json_props" -> (
       ((s: SparkSession, d: String) => Catalog(s, d).events
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        // malformed JSON and non-int k values are NULL, not errors:
+        // get_json_object already nulls bad documents; try_cast nulls
+        // non-numeric / overflowing extracts (ANSI cast aborted the
+        // whole query on a single {"k": 1e309} in the hostile probe).
+        // DuckDB mirrors with json_valid + TRY_CAST.
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").try_cast("int"))
         .groupBy(col("event_type"))
         .agg(
           count(col("k")).as("n_with_k"),
           sum(col("k").cast("long")).as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
-      Some("""SELECT event_type,
-             |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-             |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+             |                  THEN json_extract_string(props, '$.k') END AS INT) AS k
+             |  FROM events)
+             |SELECT event_type,
+             |  count(k) AS n_with_k,
+             |  CAST(SUM(k) AS BIGINT) AS sum_k,
+             |  max(k) AS max_k
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // incremental maintenance of a weekly aggregate: stored partials
     // (pre-cutoff) merged with delta partials (post-cutoff) by
@@ -405,8 +442,8 @@ object OlapQueries {
       }),
       Some("""SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
              |  o_orderpriority, count(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+             |  CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_price,
+             |  CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) / count(*) AS avg_price
              |FROM orders GROUP BY 1, 2""".stripMargin))
   )
 }

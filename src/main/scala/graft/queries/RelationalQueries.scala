@@ -127,7 +127,7 @@ object RelationalQueries {
              |  COALESCE(o.total, 0.0) AS total_spent
              |FROM customer LEFT JOIN (
              |  SELECT o_custkey, count(*) AS cnt,
-             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |    CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total
              |  FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""".stripMargin)),
 
     // §2.7 — union / intersect / except (all DISTINCT semantics)
@@ -223,8 +223,15 @@ object RelationalQueries {
       ((s: SparkSession, d: String) => Catalog(s, d).orders
         .groupBy(col("o_custkey"))
         .agg(
-          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"),
-          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_priority"),
+          // pick among rows with a RECORDED priority: DuckDB's
+          // arg_min/arg_max skip null values while Spark's min_by
+          // faithfully returns the extreme row's null — nulling the
+          // ordering key on null-priority rows makes Spark skip them
+          // too (min_by ignores null keys), the portable semantics
+          min_by(col("o_orderpriority"),
+            when(col("o_orderpriority").isNotNull, col("o_orderkey"))).as("first_priority"),
+          max_by(col("o_orderpriority"),
+            when(col("o_orderpriority").isNotNull, col("o_orderkey"))).as("last_priority"),
           min(col("o_orderkey")).as("first_orderkey"))),
       Some("""SELECT o_custkey,
              |  arg_min(o_orderpriority, o_orderkey) AS first_priority,

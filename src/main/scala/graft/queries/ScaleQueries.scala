@@ -18,7 +18,7 @@ object ScaleQueries {
 
   private val plainJoinOracle: String =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR abs(l_quantity) > 99999999999999.9 THEN NULL ELSE l_quantity END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -93,7 +93,12 @@ object ScaleQueries {
     */
   private def quantileBins(s: SparkSession, d: String): DataFrame = {
     val orders = Catalog(s, d).orders
-    val g = orders.groupBy(col("o_totalprice").as("v"))
+    // deciles rank KNOWN prices: a NULL group would sit at opposite ends
+    // of the two engines' cumulative windows (Spark NULLS FIRST, DuckDB
+    // NULLS LAST) and shift every decile by its count; the final
+    // equi-join drops null rows anyway
+    val g = orders.filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_totalprice").as("v"))
       .agg(count(lit(1)).as("n_v"))
     val bounds = g.agg(min(col("v")).as("_v0"), max(col("v")).as("_v1"))
     val bucket = floor((col("v") - col("_v0")) * lit(32.0d) /
@@ -112,7 +117,8 @@ object ScaleQueries {
 
   private val quantileBinsOracle: String =
     """WITH g AS (
-      |  SELECT o_totalprice AS v, count(*) AS n_v FROM orders GROUP BY 1),
+      |  SELECT o_totalprice AS v, count(*) AS n_v FROM orders
+      |  WHERE o_totalprice IS NOT NULL GROUP BY 1),
       |c AS (
       |  SELECT v, CAST(sum(n_v) OVER (ORDER BY v
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_v

@@ -56,7 +56,7 @@ object TimeSeriesQueries {
   val resampleFfillOracle: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
-      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      |         CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS day_value
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
       |spine AS (
       |  SELECT user_id,
@@ -156,7 +156,7 @@ object TimeSeriesQueries {
   val trailingWindowOracle: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
-      |         SUM(CAST(value AS DECIMAL(18,4))) AS day_dec,
+      |         SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS day_dec,
       |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4)
       |SELECT user_id, day,

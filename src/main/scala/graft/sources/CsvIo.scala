@@ -28,15 +28,29 @@ object CsvIo {
     StructField("n_name", StringType),
     StructField("n_regionkey", IntegerType)))
 
+  /** Round-trip-faithful CSV options, shared by both directions. The
+    * defaults LOSE information (found by the r13 hostile probe):
+    * the writer trims whitespace-only values to "" (univocity
+    * ignore*WhiteSpace defaults true on WRITE), and NULL and "" both
+    * serialize to an empty field, collapsing distinct group keys on
+    * read-back. An explicit NULL token plus disabled trimming makes
+    * write∘read the identity on any string value.
+    */
+  private[sources] val faithful: Map[String, String] = Map(
+    "header" -> "true",
+    "nullValue" -> "\\N",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read.options(faithful).schema(schema).csv(path)
 
   /** Opt-in inference, reference-parity behavior. */
   def readInferred(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.options(faithful).option("inferSchema", "true").csv(path)
 
   def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").options(faithful).csv(path)
 
   /** Single-file CSV report (reference: `coalesce(1)` at
     * `scripts/basket-analysis/top_products_by_count.py:21`) — only for
@@ -44,5 +58,5 @@ object CsvIo {
     * anti-parallelism choice. [S6]
     */
   def writeSingleFile(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    df.coalesce(1).write.mode("overwrite").options(faithful).csv(path)
 }

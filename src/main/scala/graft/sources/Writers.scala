@@ -133,7 +133,7 @@ object Writers {
   def singleCsvFile(df: DataFrame, dir: String, fileName: String): String = {
     val spark = df.sparkSession
     val tmp = s"$dir/_tmp_${fileName.replace('.', '_')}"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    df.coalesce(1).write.mode("overwrite").options(CsvIo.faithful).csv(tmp)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
     val dest = new Path(s"$dir/$fileName")

@@ -97,13 +97,19 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").as[Long], col("value").as[Double])
+      // quantize BEFORE the typed boundary: a NULL value in a
+      // non-nullable Double tuple field aborts the stream
+      // (NOT_NULL_ASSERT_VIOLATION — the r13 hostile probe). A null
+      // value contributes 0 quanta but still counts as an event; the
+      // oracle mirrors with COALESCE(SUM(...), 0) + count(*)
+      .select(col("user_id").as[Long],
+        coalesce(floor(col("value") * 10000d).cast("long"), lit(0L)).as[Long])
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
           val (n0, q0) = state.getOption.getOrElse((0L, 0L))
           var n = n0; var q = q0
-          rows.foreach { r => n += 1; q += math.floor(r._2 * 10000d).toLong }
+          rows.foreach { r => n += 1; q += r._2 }
           state.update((n, q))
           (user, n, q / 10000.0)
       }
@@ -178,11 +184,13 @@ object EventStream {
       java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L)
     events
       .withWatermark("ts", "0 seconds")
+      // quantize BEFORE the typed boundary (see runningUserTotals)
       .select(col("user_id").as[Long], col("ts").as[java.time.Instant],
-        col("event_id").as[Long], col("value").as[Double])
+        col("event_id").as[Long],
+        coalesce(floor(col("value") * 10000d).cast("long"), lit(0L)).as[Long])
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, java.time.Instant, Long, Double)],
+        (user: Long, rows: Iterator[(Long, java.time.Instant, Long, Long)],
          state: GroupState[Seq[SessionAcc]]) =>
           val wm = state.getCurrentWatermarkMs()
           var sessions = state.getOption.getOrElse(Seq.empty).toList
@@ -191,7 +199,7 @@ object EventStream {
           val evs = rows.toArray.sortBy(r => (us(r._2), r._3))
           for (e <- evs) {
             val eUs = us(e._2)
-            val q = math.floor(e._4 * 10000d).toLong
+            val q = e._4
             sessions match {
               case last :: _ if Math.floorDiv(eUs, 1000000L) - Math.floorDiv(last.endUs, 1000000L) <= gapSec =>
                 sessions = last.copy(endUs = math.max(last.endUs, eUs),
