@@ -136,12 +136,13 @@ object Exact {
     * exactly-representable benign value. Out-of-domain products are
     * NULL-out. Oracle form: `CAST(CAST(SUM(CAST(floor(CASE WHEN p IS NULL OR
     * abs(p) > CAST(9e14 AS DECIMAL(38,8)) THEN NULL ELSE p END * 10000)
-    * AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000`.
+    * AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000`.
     */
   def qsumD(c: Column, grid: Long = 10000L): Column = {
     val hi = lit(QMaxAbs).cast(DecimalType(38, 8))
     val g = when(c.isNull || abs(c) > hi, lit(null)).otherwise(c)
-    sum(floor(g * lit(grid)).cast(LongType)).cast(DoubleType) / lit(grid)
+    qbridged(sum(floor(g * lit(grid)).cast(LongType)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))) / lit(grid)
   }
 
   /** Order-independent average for ARBITRARY doubles (division results
@@ -154,7 +155,7 @@ object Exact {
     * (…x5) can round apart (observed on `extendedprice/quantity` at
     * sf0.01). Monetary inputs with ≤2 real decimals are safe with
     * [[dec]]; anything computed by division is not. Oracle form:
-    * `CAST(CAST(SUM(CAST(floor(x * grid) AS BIGINT)) AS BIGINT) AS DOUBLE) / (grid * COUNT(x))`.
+    * `CAST(CAST(SUM(CAST(floor(x * grid) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / (grid * COUNT(x))`.
     */
   def qavg(c: Column, grid: Long = 10000L): Column = {
     // NOTE: single division by (grid * count) — the oracle's exact
@@ -162,8 +163,7 @@ object Exact {
     // round twice and drift one ulp from the replay
     val g = when(c.isNull || isnan(c) || abs(c) > lit(QMaxAbs), lit(null))
       .otherwise(c)
-    sum(floor(g * lit(grid.toDouble)).cast(LongType)).cast(DoubleType) /
-      (lit(grid) * count(c))
+    qbridged(sum(quanta(g, grid))) / (lit(grid) * count(c))
   }
 
   /** Order-independent exact SUM for ARBITRARY (computed) doubles on
@@ -175,14 +175,35 @@ object Exact {
     * leave long range) are NULL-out like [[dec]]. The long-quanta
     * accumulator's envelope is n·|x|·grid ≤ 2^63 — shard the aggregate
     * beyond it. Oracle form:
-    * `CAST(CAST(SUM(CAST(floor(<sqlQGuard(x)> * grid) AS BIGINT)) AS BIGINT) AS DOUBLE) / grid`.
+    * `CAST(CAST(SUM(CAST(floor(<sqlQGuard(x)> * grid) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / grid`.
     */
   def qsum(c: Column, grid: Long = 10000L): Column = {
     val g = when(c.isNull || isnan(c) || abs(c) > lit(QMaxAbs), lit(null))
       .otherwise(c)
-    sum(floor(g * lit(grid.toDouble)).cast(LongType)).cast(DoubleType) /
-      lit(grid)
+    qbridged(sum(quanta(g, grid))) / lit(grid)
   }
+
+  /** Per-row integer quanta as an EXACT wide accumuland: the long cast
+    * first (guarded, so always in range — and floor(double)->long
+    * truncation is engine-identical), then long->DECIMAL(38,0) which is
+    * integer-exact (a direct double->decimal cast of a >2^53 value
+    * would reopen the shortest-string vs exact-binary divergence). A
+    * LONG accumulator was tried first and overflowed on in-domain
+    * hostile volume (one near-bound product is 9e18 quanta — the r13
+    * sf0.01 hostile sweep); DECIMAL(38,0) holds 10^38 quanta, beyond
+    * any corpus, and DuckDB's SUM(BIGINT) already accumulates hugeint.
+    */
+  private def quanta(g: Column, grid: Long): Column =
+    floor(g * lit(grid.toDouble)).cast(LongType)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  /** Exact integer-decimal -> double through a string (see [[dsum]]'s
+    * bridge): correctly-rounded in both engines at any magnitude.
+    * Oracle form: `CAST(CAST(SUM(CAST(floor(...) AS BIGINT)) AS
+    * VARCHAR(64)) AS DOUBLE)`.
+    */
+  private def qbridged(decSum: Column): Column =
+    decSum.cast(org.apache.spark.sql.types.StringType).cast(DoubleType)
 
   /** Saturation bound for [[qavg]]'s long-quanta grid. */
   val QMaxAbs: Double = 9.0e14

@@ -32,9 +32,9 @@ object EtlQueries {
       Some(s"""WITH ${Etl.baseOracle}
               |SELECT store_id, product_id,
               |  CAST(CEIL(day / 7.0) AS BIGINT) AS week_no,
-              |  CAST(CAST(SUM(CAST(floor(CASE WHEN net_sales IS NULL OR isnan(net_sales) OR abs(net_sales) > 900000000000000.0 THEN NULL ELSE net_sales END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS total_net_sales,
+              |  CAST(CAST(SUM(CAST(floor(CASE WHEN net_sales IS NULL OR isnan(net_sales) OR abs(net_sales) > 900000000000000.0 THEN NULL ELSE net_sales END * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000 AS total_net_sales,
               |  SUM(quantity) AS total_quantity,
-              |  CAST(CAST(SUM(CAST(floor(${graft.functions.Exact.sqlQGuard("unit_price")} * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / (10000 * COUNT(unit_price)) AS avg_unit_price,
+              |  CAST(CAST(SUM(CAST(floor(${graft.functions.Exact.sqlQGuard("unit_price")} * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / (10000 * COUNT(unit_price)) AS avg_unit_price,
               |  CAST(CAST(SUM(CAST(CASE WHEN discount_rate IS NULL OR isnan(discount_rate) OR abs(discount_rate) > 99999999999999.9 THEN NULL ELSE discount_rate END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) / COUNT(discount_rate) AS avg_discount_rate,
               |  MAX(is_discounted) AS is_discounted
               |FROM base
@@ -47,7 +47,7 @@ object EtlQueries {
               |m AS (SELECT max(day) AS gmax FROM base)
               |SELECT b.household_key,
               |  CAST(count(DISTINCT b.basket_id) AS BIGINT) AS frequency,
-              |  CAST(CAST(SUM(CAST(floor(CASE WHEN b.net_sales IS NULL OR isnan(b.net_sales) OR abs(b.net_sales) > 900000000000000.0 THEN NULL ELSE b.net_sales END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS monetary,
+              |  CAST(CAST(SUM(CAST(floor(CASE WHEN b.net_sales IS NULL OR isnan(b.net_sales) OR abs(b.net_sales) > 900000000000000.0 THEN NULL ELSE b.net_sales END * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000 AS monetary,
               |  (SELECT gmax FROM m) - max(b.day) AS recency,
               |  coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
               |  coalesce(c.c_name, 'UNKNOWN') AS c_name

@@ -285,7 +285,7 @@ object IoQueries {
              |  SELECT week_no, TRUE AS inserted, net_price * 3 AS net_price
              |  FROM base WHERE week_no = 52 AND l_orderkey % 2 = 1)
              |SELECT week_no, inserted, count(*) AS n_lines,
-             |  CAST(CAST(SUM(CAST(floor(CASE WHEN net_price IS NULL OR isnan(net_price) OR abs(net_price) > 900000000000000.0 THEN NULL ELSE net_price END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS total_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN net_price IS NULL OR isnan(net_price) OR abs(net_price) > 900000000000000.0 THEN NULL ELSE net_price END * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000 AS total_net
              |FROM merged GROUP BY 1, 2""".stripMargin)),
 
     "q46_zorder_layout" -> (
@@ -312,7 +312,7 @@ object IoQueries {
              |    l_extendedprice * (1.0 - l_discount) AS net_price
              |  FROM lineitem)
              |SELECT week_no, count(*) AS n_lines,
-             |  CAST(CAST(SUM(CAST(floor(CASE WHEN CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END IS NULL OR isnan(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) OR abs(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) > 900000000000000.0 THEN NULL ELSE CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS week_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END IS NULL OR isnan(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) OR abs(CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END) > 900000000000000.0 THEN NULL ELSE CASE WHEN week_no = 52 THEN net_price * 2 ELSE net_price END END * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000 AS week_net
              |FROM base WHERE week_no IN (51, 52)
              |GROUP BY week_no ORDER BY week_no""".stripMargin)),
 
@@ -334,7 +334,7 @@ object IoQueries {
       (partitionedRoundtrip _),
       Some("""SELECT CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
              |  count(*) AS n_lines,
-             |  CAST(CAST(SUM(CAST(floor(CASE WHEN l_extendedprice * (1.0 - l_discount) IS NULL OR isnan(l_extendedprice * (1.0 - l_discount)) OR abs(l_extendedprice * (1.0 - l_discount)) > 900000000000000.0 THEN NULL ELSE l_extendedprice * (1.0 - l_discount) END * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS week_net
+             |  CAST(CAST(SUM(CAST(floor(CASE WHEN l_extendedprice * (1.0 - l_discount) IS NULL OR isnan(l_extendedprice * (1.0 - l_discount)) OR abs(l_extendedprice * (1.0 - l_discount)) > 900000000000000.0 THEN NULL ELSE l_extendedprice * (1.0 - l_discount) END * 10000) AS BIGINT)) AS VARCHAR(64)) AS DOUBLE) / 10000 AS week_net
              |FROM lineitem
              |WHERE CAST(CEIL((datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) = 52
              |GROUP BY 1""".stripMargin)),
