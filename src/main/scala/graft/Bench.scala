@@ -127,8 +127,15 @@ object Bench {
     val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // field order matters for readers that keep only the LINE'S TAIL
+    // (the driver stores a 2000-char stdout suffix): the per-query
+    // min-times map — the number a human actually wants — goes LAST,
+    // preceded by total_sec, so a truncated read still shows real
+    // timings instead of the telemetry arrays (r13 verdict item 1: the
+    // tail showed run_loads' loadavg values where r12's showed times,
+    // reading as a phantom 10x regression)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail,"run_loads":$runLoads}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail,"run_loads":$runLoads,"total_sec":$total,"queries":$qs}"""
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     System.out.println(line)

@@ -61,7 +61,7 @@ object SparkEntry {
     "t6_repetition", "t7_pii_redact", "t8_vocab", "t9_bpe_tokens",
     "t10_quality_model", "t11_stratified_take", "t12_countmin", "t13_tfidf",
     "t14_bloom", "t15_hll", "t16_chi2_drift", "t17_ks_drift", "c4b_pack_bpe",
-    "mm1_multimodal", "mm2_frame_sample",
+    "mm1_multimodal", "mm2_frame_sample", "mm3_real_decode",
     "e1_hourly_events", "e2_sessionize", "e3_session_window", "e4_stateful_totals",
     "e5_stateful_sessions", "e6_stream_stream_join", "e7_stream_file_sink",
     "e8_stream_dedup", "e9_stream_static_join", "e10_stream_restart",
@@ -80,7 +80,7 @@ object SparkEntry {
     "q29_string_funcs", "q30_date_arith",
     "q31_etl_transactions", "q32_etl_weekly", "q33_etl_customer", "q34_etl_item",
     "q35_coupon_flag", "ml_fpgrowth_pairs", "ml_kmeans_lloyd", "ml_churn_twin",
-    "ml_als_twin",
+    "ml_als_twin", "ml_kmeans_autok",
     // layout queries last: q37 replicates its build side 8x and q38
     // writes two bucketed warehouse tables inside the measured window —
     // nothing should run downstream of their footprint

@@ -179,6 +179,101 @@ object Multimodal {
         graft.functions.RollingHash(col("frame")).as("frame_hash"))
   }
 
+  /** The formats the mm3 gate round-robins over — every codec here ships
+    * in the JRE, so the gate exercises three REAL encoders/decoders with
+    * zero new dependencies.
+    */
+  private val Mm3Formats = Array("png", "gif", "bmp")
+
+  /** Deterministic genuine-image synthesis for the real-decoder gate:
+    * dims, format, frame count, and fill color are arithmetic on the
+    * doc_id ALONE (the manifest DuckDB replays — see
+    * [[realDecodeOracle]]), but the BYTES are whatever the JDK codec
+    * emits: a genuine PNG/BMP, or a genuine multi-frame GIF (1 + id%4
+    * frames) so the decoder's frame counting is exercised past 1.
+    * Pure function of id — partition- and retry-invariant by
+    * construction.
+    */
+  private[ext] def encodeImage(id: Long): Array[Byte] = {
+    val w = (1 + Math.floorMod(id, 31L)).toInt
+    val h = (1 + Math.floorMod(id * 7L, 23L)).toInt
+    val fmt = Mm3Formats(Math.floorMod(id, 3L).toInt)
+    val nFrames = if (fmt == "gif") (1 + Math.floorMod(id, 4L)).toInt else 1
+    def frame(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = Math.floorMod(id * 2654435761L + f * 65537L, 0x1000000L).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (nFrames == 1) {
+      javax.imageio.ImageIO.write(frame(0), fmt, bos)
+    } else {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until nFrames).foreach { f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(frame(f), null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose(); ios.close()
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** The REAL-decoder gate (mm3): synthesize genuine image payloads from
+    * the documents table's id set, stage them through a parquet
+    * binary-column round trip (the way a production corpus would carry
+    * them), decode with [[ImageIoDecoder]] — the JDK codec parsing bytes
+    * a JDK codec emitted, through the same seam the stub rides — and
+    * emit the decoded header facts. The DuckDB oracle replays the
+    * MANIFEST arithmetic (dims/format/frames as functions of doc_id), so
+    * any decoder that fails to parse the genuine bytes (width/height 0)
+    * hash-mismatches loudly. Everything is id-derived: hostile-value
+    * corpora can't perturb it (keys are protected), and the payload
+    * never shuffles — encode is a map, decode is a map, the only wide op
+    * is the final presentation sort.
+    */
+  def realDecode(documents: DataFrame, stagingDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeImage(id))))
+      .toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(stagingDir)
+    val staged = spark.read.parquet(stagingDir)
+    decodeFeatures(staged, ImageIoDecoder).toDF()
+      .select(
+        col("doc_id"),
+        element_at(lit(Mm3Formats), (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
+          .as("format"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Manifest replay for [[realDecode]] — pure id arithmetic, no image
+    * knowledge: if the engine's decoded headers match this, the encode →
+    * parquet → decode path reproduced the manifest from genuine bytes.
+    */
+  val realDecodeOracle: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CAST(1 + doc_id % 31 AS INT) AS width,
+      |  CAST(1 + (doc_id * 7) % 23 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB's range() *table* function rejects correlated arguments, but
     * the scalar range() *list* function takes them — unnest it per doc, so
     * the frame count is exact for any document length (no fixed bound to

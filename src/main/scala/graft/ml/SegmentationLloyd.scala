@@ -94,12 +94,23 @@ object SegmentationLloyd {
     * A corpus smaller than k seeds fewer cells; every loop bounds on
     * the actual seed count.
     */
-  def fitLloyd(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
-    val data: Array[Array[Long]] = q
-      .orderBy(col("custkey")).limit(maxFitRows)
-      .select(col("q1"), col("q2"), col("q3"), col("q4"))
-      .collect()
-      .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  def fitLloyd(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
+    fitLloydData(collectFitSample(q), k, iters)
+
+  /** The maxFitRows-bounded, custkey-ordered fit sample as a driver
+    * array — factored out so callers that fit several K values (the
+    * auto-K twin sweeps K=2..8) pull the sample ONCE instead of once
+    * per K. The orderBy().limit() shape is the bounded-fit contract
+    * BoundedFitSpec audits.
+    */
+  def collectFitSample(q: DataFrame): Array[Array[Long]] = q
+    .orderBy(col("custkey")).limit(maxFitRows)
+    .select(col("q1"), col("q2"), col("q3"), col("q4"))
+    .collect()
+    .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  /** Lloyd over an already-collected fit sample (see [[fitLloyd]]). */
+  def fitLloydData(data: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = data.take(k).map(_.clone())
     val kk = cents.length
     val dims = 4
@@ -170,10 +181,30 @@ object SegmentationLloyd {
     * over the FULL quantized frame like the engine's [[assign]].
     */
   def oracle(k: Int = 4, iters: Int = 3): String = {
-    val score = (f: String, c: String) =>
-      (1 to 4).map(d => s"($f.q$d-$c.c$d)*($f.q$d-$c.c$d)").mkString("+")
-    val base =
-      s"""WITH rfm AS (
+    val tail =
+      s"""SELECT custkey, CAST(cell AS INT) AS cluster FROM (
+         |  SELECT f.custkey, c.cell,
+         |    row_number() OVER (PARTITION BY f.custkey
+         |                       ORDER BY ${oracleScore("f", "c")} ASC, c.cell ASC) AS rn
+         |  FROM q f CROSS JOIN cent$iters c) WHERE rn = 1
+         |ORDER BY custkey""".stripMargin
+    (Seq(oracleBaseCtes) ++ oracleCentChain(k, iters, "")).mkString(",\n") + "\n" + tail
+  }
+
+  /** Squared distance between a quantized row `f` and a centroid `c` —
+    * the shared scoring term of every assignment CTE.
+    */
+  private[ml] def oracleScore(f: String, c: String): String =
+    (1 to 4).map(d => s"($f.q$d-$c.c$d)*($f.q$d-$c.c$d)").mkString("+")
+
+  /** The K-independent feature/quantization prefix of the oracle — RFM
+    * features, max-abs scales, the quantized frame `q`, the bounded fit
+    * sample `fq` — shared verbatim by the fixed-K oracle and the auto-K
+    * oracle ([[SegmentationAutoK.oracle]]) so the two gates replay the
+    * identical feature contract.
+    */
+  private[ml] def oracleBaseCtes: String =
+    s"""WITH rfm AS (
          |  SELECT o_custkey,
          |    count(DISTINCT o_orderkey) AS frequency,
          |    CAST(CAST(SUM(CAST(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) OR abs(o_totalprice) > 99999999999999.9 THEN NULL ELSE o_totalprice END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS monetary,
@@ -202,8 +233,16 @@ object SegmentationLloyd {
          |    CAST(floor(f.monetary / s.s3 * 1000000.0) AS BIGINT) AS q3,
          |    CAST(floor(f.recency_days / s.s4 * 1000000.0) AS BIGINT) AS q4
          |  FROM feats f CROSS JOIN scales s),
-         |fq AS (SELECT * FROM q ORDER BY custkey LIMIT $maxFitRows),
-         |cent0 AS (
+         |fq AS (SELECT * FROM q ORDER BY custkey LIMIT $maxFitRows)""".stripMargin
+
+  /** The unrolled Lloyd fit for one K as a CTE list `cent0$sfx` ..
+    * `cent$iters$sfx` over the shared `fq` sample. The suffix keeps the
+    * per-K chains disjoint when the auto-K oracle unrolls seven fits in
+    * one statement.
+    */
+  private[ml] def oracleCentChain(k: Int, iters: Int, sfx: String): Seq[String] = {
+    val cent0 =
+      s"""cent0$sfx AS (
          |  SELECT CAST(row_number() OVER (ORDER BY custkey) - 1 AS INT) AS cell,
          |         q1 AS c1, q2 AS c2, q3 AS c3, q4 AS c4
          |  FROM (SELECT * FROM fq ORDER BY custkey LIMIT $k))""".stripMargin
@@ -212,30 +251,23 @@ object SegmentationLloyd {
       val centCols = (1 to 4).map { d =>
         s"COALESCE((n.s$d - (((n.s$d % n.n) + n.n) % n.n)) // n.n, c.c$d) AS c$d"
       }.mkString(",\n    ")
-      s"""asg$t AS (
+      s"""asg$t$sfx AS (
          |  SELECT custkey, cell FROM (
          |    SELECT f.custkey, c.cell,
          |      row_number() OVER (PARTITION BY f.custkey
-         |                         ORDER BY ${score("f", "c")} ASC, c.cell ASC) AS rn
-         |    FROM fq f CROSS JOIN cent$p c) WHERE rn = 1),
-         |newc$t AS (
+         |                         ORDER BY ${oracleScore("f", "c")} ASC, c.cell ASC) AS rn
+         |    FROM fq f CROSS JOIN cent$p$sfx c) WHERE rn = 1),
+         |newc$t$sfx AS (
          |  SELECT a.cell,
          |    CAST(SUM(f.q1) AS BIGINT) AS s1, CAST(SUM(f.q2) AS BIGINT) AS s2,
          |    CAST(SUM(f.q3) AS BIGINT) AS s3, CAST(SUM(f.q4) AS BIGINT) AS s4,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM fq f JOIN asg$t a ON a.custkey = f.custkey GROUP BY 1),
-         |cent$t AS (
+         |  FROM fq f JOIN asg$t$sfx a ON a.custkey = f.custkey GROUP BY 1),
+         |cent$t$sfx AS (
          |  SELECT c.cell,
          |    $centCols
-         |  FROM cent$p c LEFT JOIN newc$t n ON n.cell = c.cell)""".stripMargin
+         |  FROM cent$p$sfx c LEFT JOIN newc$t$sfx n ON n.cell = c.cell)""".stripMargin
     }
-    val tail =
-      s"""SELECT custkey, CAST(cell AS INT) AS cluster FROM (
-         |  SELECT f.custkey, c.cell,
-         |    row_number() OVER (PARTITION BY f.custkey
-         |                       ORDER BY ${score("f", "c")} ASC, c.cell ASC) AS rn
-         |  FROM q f CROSS JOIN cent$iters c) WHERE rn = 1
-         |ORDER BY custkey""".stripMargin
-    (Seq(base) ++ steps).mkString(",\n") + "\n" + tail
+    cent0 +: steps
   }
 }

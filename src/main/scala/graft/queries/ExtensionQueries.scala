@@ -656,6 +656,20 @@ object ExtensionQueries {
         Multimodal.decodeFeatures(Multimodal.withPayload(Catalog(s, d).documents)).toDF()),
       Some(Multimodal.oracle)),
 
+    // the REAL decoder, gated (r13 verdict item 5): genuine JDK-encoded
+    // PNG/GIF/BMP payloads staged through a parquet binary round trip,
+    // decoded by ImageIoDecoder, header facts gated against the DuckDB
+    // manifest replay — the stub stops being the only gated path
+    "mm3_real_decode" -> (
+      ((s: SparkSession, d: String) => {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_io", s"mm3_payloads_$digest").toString
+        Multimodal.realDecode(Catalog(s, d).documents, dir)
+      }),
+      Some(Multimodal.realDecodeOracle)),
+
     // end-to-end corpus curation: quality x language x cluster-dedup
     "c1_corpus_pipeline" -> (
       ((s: SparkSession, d: String) => CorpusPipeline.curate(Catalog(s, d).documents)),

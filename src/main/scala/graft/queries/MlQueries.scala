@@ -35,6 +35,20 @@ object MlQueries {
       }),
       Some(SegmentationLloyd.oracle())),
 
+    // M3-M5 hash-gated AUTO-K twin: the reference's silhouette-selected
+    // K (ties -> lower WSSSE, SegmentationModel.java:95-145,181-194) as
+    // an exact-arithmetic K sweep — per-K integer-grid Lloyd fits on the
+    // shared bounded sample, exact decimal WSSSE + grid-quantized
+    // simplified silhouette over the full frame, rank-1 selection —
+    // replayed end-to-end by DuckDB; the last reference BEHAVIOR that
+    // was gated only by metrics before r14
+    "ml_kmeans_autok" -> (
+      ((s: SparkSession, d: String) => {
+        val c = Catalog(s, d)
+        SegmentationAutoK.report(c.customer, c.orders)
+      }),
+      Some(SegmentationAutoK.oracle())),
+
     // M6-M10: indexer/OHE/assembler/scaler/RF + AUC
     "ml_churn_rf" -> (
       ((s: SparkSession, d: String) => {

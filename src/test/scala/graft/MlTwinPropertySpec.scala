@@ -57,4 +57,14 @@ class MlTwinPropertySpec extends AnyFunSuite with SharedSpark {
       assert(got == base, s"Lloyd twin diverged under scramble $i")
     }
   }
+
+  test("ml_kmeans_autok is bit-identical under input row order and partitioning") {
+    val c = Catalog(spark, sf)
+    val base = canon(graft.ml.SegmentationAutoK.report(c.customer, c.orders))
+    (1 to 3).foreach { i =>
+      val got = canon(graft.ml.SegmentationAutoK.report(
+        scramble(c.customer, 100 + i), scramble(c.orders, 105 + i)))
+      assert(got == base, s"auto-K twin diverged under scramble $i")
+    }
+  }
 }
