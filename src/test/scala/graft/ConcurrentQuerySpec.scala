@@ -106,6 +106,53 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
       "concurrent invocations left entries in the CacheManager")
   }
 
+  /** Queries excluded from the randomized soak: filesystem/warehouse
+    * writers (two concurrent writers on one named path is the documented
+    * user error, not an engine race), streaming gates (per-sfDir staging
+    * and checkpoint dirs collide by construction when the same gate runs
+    * twice in flight), and the seeded product-path ML fits (training
+    * jobs, not queries — minutes each).
+    */
+  private val soakExcluded: Set[String] = Set(
+    "q20_csv_roundtrip", "q21_partitioned_roundtrip", "q36_orc_roundtrip",
+    "q39_sink_roundtrip", "q40_partition_upsert", "q41_range_layout",
+    "q42_inferred_csv", "q46_zorder_layout", "q47_merge_upsert",
+    "q37_skew_join", "q38_bucketed_join", "c6_training_write",
+    "mm3_real_decode", "ml_model_roundtrip",
+    "ml_kmeans_segmentation", "ml_churn_rf", "ml_als_recommend")
+
+  /** The r13 verdict's item-7 widening: the two targeted tests above
+    * drive the interleavings we KNEW about (the q25/q52 view race, the
+    * shared-cache yank); this soak drives the ones we don't — a seeded
+    * random mix of the whole read-only registry, 8 threads, every result
+    * compared bit-for-bit to its sequential baseline. Two in-flight
+    * copies of each sampled query double as a same-plan cache stress for
+    * whichever caching operators the sample draws.
+    */
+  test("randomized mixed workload: 8 threads over a seeded registry sample match baselines") {
+    spark.catalog.clearCache()
+    val eligible = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(soakExcluded.contains)
+      .filterNot(_.startsWith("e")) // streaming gates (e1..e12)
+    val rng = new scala.util.Random(14)
+    val sample = rng.shuffle(eligible).take(20)
+    val baselines = sample.map(q => q -> canon(SparkEntry.queries(q)(spark, sfSmall))).toMap
+    val tasks = rng.shuffle(sample ++ sample) // 40 submissions, 2 per query
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tasks.map { q =>
+        Future((q, canon(SparkEntry.queries(q)(spark, sfSmall))))
+      }
+      for ((q, got) <- Await.result(Future.sequence(futures), Duration.Inf))
+        assert(got == baselines(q),
+          s"$q diverged under the randomized concurrent soak " +
+            "(session-shared state raced)")
+    } finally pool.shutdown()
+    assert(org.apache.spark.sql.GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "the randomized soak left entries in the CacheManager")
+  }
+
   test("no temp views survive a q25/q52 invocation (catalog left clean)") {
     SparkEntry.queries("q25_sql_api")(spark, sfSmall).count()
     SparkEntry.queries("q52_grouping_sets")(spark, sfSmall).count()
