@@ -243,6 +243,16 @@ object Multimodal {
     * corpora can't perturb it (keys are protected), and the payload
     * never shuffles — encode is a map, decode is a map, the only wide op
     * is the final presentation sort.
+    *
+    * `format` is derived from the DECODED first byte (PNG 0x89 / GIF 'G'
+    * / BMP 'B'), not from the manifest arithmetic: a decoder that
+    * misidentifies the container now fails the gate instead of matching
+    * by construction (the r14 advisor's vacuity note).
+    *
+    * The result materializes EAGERLY (unsorted localCheckpoint, sorted
+    * lazily — the cache-release contract) and the staging dir is deleted
+    * before return: callers pass a per-invocation dir, so two processes
+    * on the same sf never share (and never accumulate) staging files.
     */
   def realDecode(documents: DataFrame, stagingDir: String): DataFrame = {
     val spark = documents.sparkSession
@@ -252,13 +262,18 @@ object Multimodal {
       .toDF("doc_id", "payload")
       .write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
-    decodeFeatures(staged, ImageIoDecoder).toDF()
+    val decoded = decodeFeatures(staged, ImageIoDecoder).toDF()
       .select(
         col("doc_id"),
-        element_at(lit(Mm3Formats), (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
-          .as("format"),
+        when(col("first_byte") === lit(0x89), lit("png"))
+          .when(col("first_byte") === lit(0x47), lit("gif"))
+          .when(col("first_byte") === lit(0x42), lit("bmp"))
+          .otherwise(lit("undecoded")).as("format"),
         col("width"), col("height"), col("n_frames"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    decoded.orderBy(col("doc_id"))
   }
 
   /** Manifest replay for [[realDecode]] — pure id arithmetic, no image

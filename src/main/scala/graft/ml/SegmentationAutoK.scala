@@ -110,12 +110,17 @@ object SegmentationAutoK {
              kMax: Int = 8, iters: Int = 3): DataFrame = {
     val q = SegmentationLloyd.quantized(
       SegmentationPipeline.features(customer, orders)).cache()
-    val sample = SegmentationLloyd.collectFitSample(q)
-    val crit = (kMin to kMax)
-      .map(k => critFrame(q, k, SegmentationLloyd.fitLloydData(sample, k, iters)))
-      .reduce(_.unionByName(_))
-      .localCheckpoint(true)
-    q.unpersist()
+    // finally: an exception mid-sweep (7 fits + 7 aggregate passes hold
+    // the cache open) must not leave a CacheManager entry behind — the
+    // cache-lifecycle contract CacheHygieneSpec enforces
+    val crit =
+      try {
+        val sample = SegmentationLloyd.collectFitSample(q)
+        (kMin to kMax)
+          .map(k => critFrame(q, k, SegmentationLloyd.fitLloydData(sample, k, iters)))
+          .reduce(_.unionByName(_))
+          .localCheckpoint(true)
+      } finally q.unpersist()
     // the ranking runs over a (kMax-kMin+1)-row checkpointed frame — the
     // single-partition window is free here
     val w = Window.orderBy(col("sil_q").desc, col("wssse_dec").asc, col("k").asc)

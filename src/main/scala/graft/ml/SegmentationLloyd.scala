@@ -168,9 +168,9 @@ object SegmentationLloyd {
   def segments(customer: DataFrame, orders: DataFrame, k: Int = 4,
                iters: Int = 3): DataFrame = {
     val q = quantized(SegmentationPipeline.features(customer, orders)).cache()
-    val cents = fitLloyd(q, k, iters)
-    val res = assign(q, cents).localCheckpoint(true)
-    q.unpersist()
+    val res =
+      try assign(q, fitLloyd(q, k, iters)).localCheckpoint(true)
+      finally q.unpersist()
     res.orderBy(col("custkey"))
   }
 

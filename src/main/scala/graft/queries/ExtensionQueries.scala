@@ -659,13 +659,16 @@ object ExtensionQueries {
     // the REAL decoder, gated (r13 verdict item 5): genuine JDK-encoded
     // PNG/GIF/BMP payloads staged through a parquet binary round trip,
     // decoded by ImageIoDecoder, header facts gated against the DuckDB
-    // manifest replay — the stub stops being the only gated path
+    // manifest replay — the stub stops being the only gated path.
+    // The staging dir carries a per-invocation nonce and realDecode
+    // deletes it after eager materialization: concurrent harness
+    // processes on the same sf (bench + correctness) never share a
+    // path, and /tmp never accumulates payload files
     "mm3_real_decode" -> (
       ((s: SparkSession, d: String) => {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
         val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft_io", s"mm3_payloads_$digest").toString
+          "graft_io", s"mm3_payloads_$nonce").toString
         Multimodal.realDecode(Catalog(s, d).documents, dir)
       }),
       Some(Multimodal.realDecodeOracle)),

@@ -121,6 +121,18 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
     "mm3_real_decode", "ml_model_roundtrip",
     "ml_kmeans_segmentation", "ml_churn_rf", "ml_als_recommend")
 
+  /** The streaming gates, excluded BY EXPLICIT NAME (not prefix): a
+    * prefix filter would silently drop any future non-streaming query
+    * whose key starts with 'e' from soak coverage (r14 advisor note).
+    * The companion assertion in the soak test catches drift in either
+    * direction — a new e-prefixed key must be classified here on purpose.
+    */
+  private val streamingGates: Set[String] = Set(
+    "e1_hourly_events", "e2_sessionize", "e3_session_window",
+    "e4_stateful_totals", "e5_stateful_sessions", "e6_stream_stream_join",
+    "e7_stream_file_sink", "e8_stream_dedup", "e9_stream_static_join",
+    "e10_stream_restart", "e11_sliding_windows", "e12_stream_outer_join")
+
   /** The r13 verdict's item-7 widening: the two targeted tests above
     * drive the interleavings we KNEW about (the q25/q52 view race, the
     * shared-cache yank); this soak drives the ones we don't — a seeded
@@ -131,9 +143,15 @@ class ConcurrentQuerySpec extends AnyFunSuite with SharedSpark {
     */
   test("randomized mixed workload: 8 threads over a seeded registry sample match baselines") {
     spark.catalog.clearCache()
+    val keys = SparkEntry.queries.keys.toSet
+    assert(streamingGates.subsetOf(keys),
+      s"streamingGates names unknown queries: ${(streamingGates -- keys).mkString(", ")}")
+    assert(keys.filter(_.startsWith("e")).subsetOf(streamingGates),
+      "an e-prefixed registry key is not in streamingGates — classify it " +
+        s"explicitly: ${(keys.filter(_.startsWith("e")) -- streamingGates).mkString(", ")}")
     val eligible = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(soakExcluded.contains)
-      .filterNot(_.startsWith("e")) // streaming gates (e1..e12)
+      .filterNot(streamingGates.contains)
     val rng = new scala.util.Random(14)
     val sample = rng.shuffle(eligible).take(20)
     val baselines = sample.map(q => q -> canon(SparkEntry.queries(q)(spark, sfSmall))).toMap
