@@ -52,10 +52,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScaleCurveProbe {
 
-  private val Scales = Seq(1, 3, 10)
+  /** Scale points and synthesis seed are env-tunable so a SECOND run
+    * can pin the exponents as synthesis-independent:
+    * `SPARK_GRAFT_SCALES=1,4,8 SPARK_GRAFT_ROT_SEED=5` varies both the
+    * measured points and the per-replica rotation assignment (replica 0
+    * always stays the identity so c1's lang gate and s7's query ids
+    * keep their meaning).
+    */
+  private val Scales: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALES")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+  private val RotSeed: Int =
+    sys.env.get("SPARK_GRAFT_ROT_SEED").map(_.toInt).getOrElse(0)
 
   /** Per-replica Caesar bijection over letters+digits (ScaleProbe's
     * length/Jaccard-preserving construction, generalized to N replicas).
+    * Replica i>0 rotates by ((i-1+RotSeed) mod 25)+1 — nonzero and
+    * distinct across replicas for n-1 <= 25, identity for replica 0.
     */
   private def rotatedDocs(docs: DataFrame, n: Int): DataFrame = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -64,9 +76,10 @@ object ScaleCurveProbe {
     def rot(s: String, i: Int) = s.drop(i % s.length) + s.take(i % s.length)
     val from = lower + upper + digits
     def to(i: Int) = rot(lower, i) + rot(upper, i) + rot(digits, i)
+    def rotIdx(i: Int) = ((i - 1 + RotSeed) % 25) + 1
     val replicas = docs.sparkSession.range(0, n).select(col("id").as("replica"))
     val rotated = (1 until n).foldLeft(when(col("replica") === 0, col("text"))) {
-      (acc, i) => acc.when(col("replica") === i, translate(col("text"), from, to(i)))
+      (acc, i) => acc.when(col("replica") === i, translate(col("text"), from, to(rotIdx(i))))
     }
     docs.crossJoin(broadcast(replicas))
       .select(
@@ -97,7 +110,8 @@ object ScaleCurveProbe {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
     val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scale_curve").toString
+      System.getProperty("java.io.tmpdir"), "graft_scale_curve",
+      s"s$RotSeed").toString
 
     // ---- synthesize the 3x / 10x corpora (1x reads the originals) ----
     def tablePath(scale: Int, t: String): String =
