@@ -56,6 +56,7 @@ object BfsHops {
       .union(adj.select(col("dst").as("node")))
       .distinct()
 
+    try {
     // settled set and frontier both live as localCheckpoints (the
     // DedupClusters/PageRank lifecycle): lineage stays truncated per
     // round as before, and superseded rounds free on GC via the
@@ -88,9 +89,10 @@ object BfsHops {
       }
     }
     // the settled set is checkpointed — nothing lazy reads the adjacency
-    // cache anymore; release it (CacheHygieneSpec pins this)
-    adj.unpersist()
+    // cache anymore; release it in a finally so a mid-superstep
+    // exception cannot leak it (CacheHygieneSpec pins this)
     dist.orderBy(col("node"))
+    } finally adj.unpersist()
   }
 
   /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends: the

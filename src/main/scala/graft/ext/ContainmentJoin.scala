@@ -47,8 +47,7 @@ object ContainmentJoin {
     // ordering is applied lazily OVER it: eagerly checkpointing after
     // the sort forced the range-boundary sampling pass to re-execute
     // the verify-join stage — the Triangles.countUnd lesson.
-    val out = result.localCheckpoint(true)
-    g.unpersist()
+    val out = try result.localCheckpoint(true) finally g.unpersist()
     out.orderBy(col("doc_a"), col("doc_b"))
   }
 

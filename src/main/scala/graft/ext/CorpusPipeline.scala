@@ -87,11 +87,8 @@ object CorpusPipeline {
     * eager — the component rounds run driver-side convergence actions —
     * so this adds one tiny materialization, not a semantic change.
     */
-  private def released(result: DataFrame, cache: DataFrame): DataFrame = {
-    val out = result.localCheckpoint()
-    cache.unpersist()
-    out
-  }
+  private def released(result: DataFrame, cache: DataFrame): DataFrame =
+    try result.localCheckpoint() finally cache.unpersist()
 
   def curate(documents: DataFrame, minQuality: Double = 0.8,
              lang: String = "en", jaccard: Double = 0.5): DataFrame = {
@@ -100,16 +97,21 @@ object CorpusPipeline {
     // was rejected is dropped — the quality/lang predicates apply AFTER
     // the cluster join, on stored columns of the prepared frame
     val prep = preparedCorpus(documents)
-    val comp = DedupClusters.components(
-      prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
-    released(
-      prep.join(comp, "doc_id")
-        .filter(
-          col("quality_score") >= minQuality &&
-          col("predicted_lang") === lang &&
-          col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"), col("n_words"), col("quality_score")),
-      prep)
+    // finally: released() drops the cache on the success path; the
+    // idempotent re-unpersist covers a failure inside the component
+    // rounds' eager driver actions (r15, exception-safe cache lifecycle)
+    try {
+      val comp = DedupClusters.components(
+        prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
+      released(
+        prep.join(comp, "doc_id")
+          .filter(
+            col("quality_score") >= minQuality &&
+            col("predicted_lang") === lang &&
+            col("doc_id") === col("cluster_id"))
+          .select(col("doc_id"), col("n_words"), col("quality_score")),
+        prep)
+    } finally prep.unpersist()
   }
 
   /** Filter-first curation: quality + language predicates applied BEFORE
@@ -138,16 +140,19 @@ object CorpusPipeline {
     // a second filtered text pass wins instead — that trade re-pays the
     // regex pass, so it starts losing below ~50% rejection.
     val prepAll = preparedCorpus(documents)
-    val prep = prepAll.filter(
-      col("quality_score") >= minQuality && col("predicted_lang") === lang)
-    val comp = DedupClusters.components(
-      prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
-    released(
-      prep
-        .join(comp, "doc_id")
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"), col("n_words"), col("quality_score")),
-      prepAll)
+    // finally: same idempotent failure cover as [[curate]] (r15)
+    try {
+      val prep = prepAll.filter(
+        col("quality_score") >= minQuality && col("predicted_lang") === lang)
+      val comp = DedupClusters.components(
+        prep, MinHashDedup.verifiedPairsFromPrepared(prep, jaccard))
+      released(
+        prep
+          .join(comp, "doc_id")
+          .filter(col("doc_id") === col("cluster_id"))
+          .select(col("doc_id"), col("n_words"), col("quality_score")),
+        prepAll)
+    } finally prepAll.unpersist()
   }
 
   /** DuckDB twin of [[curateFiltered]]: the identical verified-pairs +

@@ -63,6 +63,12 @@ object DedupClusters {
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("cluster_id"))
       .cache()
+    // finally: the edge/pair build caches release on every exit; on an
+    // exception (including the non-convergence throw below, which
+    // previously leaked all three frames) the in-flight labels cache
+    // releases too — on success the result stays lazy over labels, so
+    // only the catch touches it (r15, exception-safe cache lifecycle)
+    try {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -100,13 +106,17 @@ object DedupClusters {
           "some component's diameter exceeds maxIter; raise maxIter (labels would " +
           "otherwise silently diverge from min-reachable-doc_id semantics)")
     // the converged labels are checkpointed/cached, so nothing lazy
-    // reads the edge list anymore — release it (and the pair cache)
-    // instead of leaking cached frames per components() call
-    edges.unpersist()
-    pairsC.unpersist()
+    // reads the edge list anymore — the finally releases it (and the
+    // pair cache) instead of leaking cached frames per components() call
     documents.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    } catch {
+      case t: Throwable => labels.unpersist(); throw t
+    } finally {
+      edges.unpersist()
+      pairsC.unpersist()
+    }
   }
 
   /** Cluster summary: one row per component with its representative and

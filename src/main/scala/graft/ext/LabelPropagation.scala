@@ -38,6 +38,7 @@ object LabelPropagation {
     */
   def communities(edges: DataFrame, iterations: Int = 3): DataFrame = {
     val adj = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    try {
     // nodes feeds ONLY the seed labels frame (one consumer — no cache);
     // adj's cache is what the supersteps reuse
     val nodes = adj.select(col("src").as("node"))
@@ -80,9 +81,10 @@ object LabelPropagation {
         .localCheckpoint(true)
     }
     // final labels are checkpointed — nothing lazy reads the adjacency
-    // cache anymore; release it (CacheHygieneSpec pins this)
-    adj.unpersist()
+    // cache anymore; release it in a finally so a failed superstep (or
+    // the negative-id require above) cannot leak it (CacheHygieneSpec)
     labels.orderBy(col("node"))
+    } finally adj.unpersist()
   }
 
   /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends: the

@@ -170,10 +170,9 @@ object MinHashDedup {
     // one gram cache per call into long-lived sessions (the
     // CorpusPipeline localCheckpoint-then-unpersist lifecycle;
     // CacheHygieneSpec pins the empty cache manager after d8)
-    val out = verify(candidatePairs(documents, n, bucketCap), g, threshold)
+    try verify(candidatePairs(documents, n, bucketCap), g, threshold)
       .localCheckpoint(true)
-    g.unpersist()
-    out
+    finally g.unpersist()
   }
 
   /** Per-doc dedup state in ONE text scan: the MinHash signature array

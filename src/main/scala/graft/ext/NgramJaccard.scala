@@ -93,10 +93,8 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // materialize the (small) pair set, release the corpus-wide gram
-    // cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
-    val out = result.localCheckpoint(true)
-    g.unpersist()
-    out
+    // cache in a finally (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    try result.localCheckpoint(true) finally g.unpersist()
   }
 
   /** [[pairs]] with a MinHash-band prefilter on the candidate set: a pair
@@ -151,10 +149,8 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // materialize the (small) pair set, release the corpus-wide gram
-    // cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
-    val out = result.localCheckpoint(true)
-    g.unpersist()
-    out
+    // cache in a finally (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    try result.localCheckpoint(true) finally g.unpersist()
   }
 
   /** DuckDB twin of [[pairsBanded]]: identical signatures, banding,

@@ -56,50 +56,53 @@ object PageRank {
       .union(withDeg.select(col("dst").as("node")))
       .distinct()
       .cache()
-    // ONE scalar driver pull for the iterative fit (the AnnIvf-centroid
-    // license: a fixed handful of rows steering plan constants, never
-    // data). Folding n into literals removes five broadcast-nested-loop
-    // scalar joins from the superstep plans; the arithmetic is the same
-    // Long floor division the oracle's nn CTE performs.
-    val n = nodes.count()
-    if (n == 0L) {
-      // empty edge list: release the build caches and return the
-      // operator's normal (node, rank) shape with zero rows — an
-      // upstream filter matching nothing must not kill the pipeline
-      val empty = nodes.select(col("node"), lit(0L).as("rank"))
+    // finally: the build caches release on every exit — the empty-graph
+    // early return, a mid-superstep exception, or the normal
+    // checkpointed finish (the cache-lifecycle contract, exception-safe
+    // since r15; CacheHygieneSpec pins the empty cache manager)
+    try {
+      // ONE scalar driver pull for the iterative fit (the AnnIvf-centroid
+      // license: a fixed handful of rows steering plan constants, never
+      // data). Folding n into literals removes five broadcast-nested-loop
+      // scalar joins from the superstep plans; the arithmetic is the same
+      // Long floor division the oracle's nn CTE performs.
+      val n = nodes.count()
+      if (n == 0L) {
+        // empty edge list: the operator's normal (node, rank) shape with
+        // zero rows — an upstream filter matching nothing must not kill
+        // the pipeline
+        return nodes.select(col("node"), lit(0L).as("rank"))
+      }
+      val teleport = (scale * 15L) / (100L * n)
+
+      var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+      for (i <- 1 to iterations) {
+        val inSum = withDeg
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .selectExpr("dst", "rank DIV outdeg AS contrib")
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("in_sum"))
+        // materialize the superstep as a localCheckpoint: each iteration
+        // plans against a 2-column LogicalRDD instead of the whole history
+        // (the DedupClusters lineage-truncation lesson — a chained 5-deep
+        // join/agg/join plan re-optimizes and re-broadcasts every prior
+        // round's subtree), and unlike .cache() the blocks are
+        // ContextCleaner-managed: they free when the superseded frame is
+        // GC'd instead of leaking CacheManager entries in a long-lived
+        // session (cluster deployments use a reliable checkpoint dir)
+        rank = nodes
+          .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .selectExpr("node",
+            s"${teleport}L + (85 * coalesce(in_sum, 0L)) DIV 100 AS rank")
+          .localCheckpoint(true)
+      }
+      // the final ranks are checkpointed — nothing lazy reads the build
+      // caches anymore
+      rank.orderBy(col("rank").desc, col("node").asc).limit(topK)
+    } finally {
       withDeg.unpersist()
       nodes.unpersist()
-      return empty
     }
-    val teleport = (scale * 15L) / (100L * n)
-
-    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (i <- 1 to iterations) {
-      val inSum = withDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .selectExpr("dst", "rank DIV outdeg AS contrib")
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_sum"))
-      // materialize the superstep as a localCheckpoint: each iteration
-      // plans against a 2-column LogicalRDD instead of the whole history
-      // (the DedupClusters lineage-truncation lesson — a chained 5-deep
-      // join/agg/join plan re-optimizes and re-broadcasts every prior
-      // round's subtree), and unlike .cache() the blocks are
-      // ContextCleaner-managed: they free when the superseded frame is
-      // GC'd instead of leaking CacheManager entries in a long-lived
-      // session (cluster deployments use a reliable checkpoint dir)
-      rank = nodes
-        .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .selectExpr("node",
-          s"${teleport}L + (85 * coalesce(in_sum, 0L)) DIV 100 AS rank")
-        .localCheckpoint(true)
-    }
-    // the final ranks are checkpointed — nothing lazy reads the build
-    // caches anymore, so release them instead of leaking them into the
-    // caller's session (CacheHygieneSpec pins the empty cache manager)
-    withDeg.unpersist()
-    nodes.unpersist()
-    rank.orderBy(col("rank").desc, col("node").asc).limit(topK)
   }
 
   /** DuckDB twin of [[ranks]] over an `edges(src, dst)` CTE named

@@ -252,9 +252,8 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     // materialize the (small) pair set, release the corpus-wide
-    // fingerprint cache (the CorpusPipeline lifecycle; CacheHygieneSpec)
-    val out = result.localCheckpoint(true)
-    fpInts.unpersist()
-    out
+    // fingerprint cache — in a finally, so a failed materialization
+    // cannot leak it (the CorpusPipeline lifecycle; CacheHygieneSpec)
+    try result.localCheckpoint(true) finally fpInts.unpersist()
   }
 }

@@ -94,10 +94,10 @@ object Triangles {
       .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
     // countUnd materializes its result before returning, so nothing
-    // lazy reads und0 afterwards — release it (CacheHygieneSpec)
-    val out = countUnd(capped, bloomLiteralMaxEdges)
-    und0.unpersist()
-    out
+    // lazy reads und0 afterwards — release it in a finally so a failed
+    // count cannot leak it (CacheHygieneSpec)
+    try countUnd(capped, bloomLiteralMaxEdges)
+    finally und0.unpersist()
   }
 
   /** Above this oriented-edge count the closure filter stops embedding
@@ -148,10 +148,16 @@ object Triangles {
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .cache()
+    // finally: und/deg release EARLY on the success path (right after
+    // the oriented list materializes, as before) and the finally's
+    // idempotent re-unpersist only matters on an exception, where it
+    // releases whichever build caches are still live (r15)
+    var oriented: DataFrame = null
+    try {
 
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = und
+    oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
@@ -279,8 +285,12 @@ object Triangles {
       .select(explode(array(col("src"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .localCheckpoint(true)
-    oriented.unpersist()
     counts.orderBy(col("node"))
+    } finally {
+      und.unpersist()
+      deg.unpersist()
+      if (oriented != null) oriented.unpersist()
+    }
   }
 
   /** DuckDB twin over an `edges(src, dst)` CTE the caller prepends:

@@ -35,11 +35,11 @@ object BasketItemsets {
     val fp = new FPGrowth().setItemsCol("items")
       .setMinSupport(minSupport).setMinConfidence(0.1)
     // the fit is eager and the model holds its own itemsets frame, so
-    // the basket cache releases as soon as training returns
-    // (CacheHygieneSpec pins the empty CacheManager)
+    // the basket cache releases as soon as training returns — in a
+    // finally, so a failed fit cannot leak it (CacheHygieneSpec pins
+    // the empty CacheManager)
     val b = baskets(lineitem).cache()
-    val model = fp.fit(b)
-    b.unpersist()
+    val model = try fp.fit(b) finally b.unpersist()
     model.freqItemsets
       .filter(size(col("items")) <= maxSize)
       .select(array_join(sort_array(col("items")), ",").as("itemset"), col("freq"))
@@ -97,8 +97,7 @@ object BasketItemsets {
     val fp = new FPGrowth().setItemsCol("items")
       .setMinSupport(minSupport).setMinConfidence(minConfidence)
     val b = baskets(lineitem).cache()
-    val model = fp.fit(b)
-    b.unpersist()
+    val model = try fp.fit(b) finally b.unpersist()
     model.associationRules
       .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
       .select(

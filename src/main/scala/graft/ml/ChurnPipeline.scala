@@ -68,8 +68,8 @@ object ChurnPipeline {
     */
   def metrics(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val ex = examples(customer, orders, lineitem).cache()
-    val r = fitEvaluate(ex) // eager: fit + AUC + counts all materialize here
-    ex.unpersist()
+    // eager: fit + AUC + counts all materialize inside the try
+    val r = try fitEvaluate(ex) finally ex.unpersist()
     val spark = customer.sparkSession
     import spark.implicits._
     Seq((r.auc, r.train, r.test)).toDF("auc", "n_train", "n_test")

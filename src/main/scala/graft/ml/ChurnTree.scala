@@ -189,24 +189,26 @@ object ChurnTree {
     */
   def scores(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
              window: Int = 30): DataFrame = {
+    // finally: every path (empty-fit early return, a mid-fit exception,
+    // the normal checkpoint) releases the feature cache (r15)
     val ex = features(customer, orders, lineitem, window).cache()
-    val fitRows: Array[Array[Long]] = ex
-      .orderBy(col("custkey"), col("partkey")).limit(maxFitRows)
-      .select(col("f1"), col("f2"), col("f3"), col("label"))
-      .collect()
-      .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    if (fitRows.isEmpty) {
-      val out = assign(ex, Tree(Split(1, 0L), Split(1, 0L), Split(1, 0L),
-        new Array[Long](4), new Array[Long](4))).limit(0).localCheckpoint(true)
-      ex.unpersist()
-      // same ordered-output contract as the normal path (uniform even
-      // though the frame is empty today)
-      return out.orderBy(col("custkey"), col("partkey"))
-    }
-    val tree = fit(fitRows)
-    val res = assign(ex, tree).localCheckpoint(true)
-    ex.unpersist()
-    res.orderBy(col("custkey"), col("partkey"))
+    try {
+      val fitRows: Array[Array[Long]] = ex
+        .orderBy(col("custkey"), col("partkey")).limit(maxFitRows)
+        .select(col("f1"), col("f2"), col("f3"), col("label"))
+        .collect()
+        .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      if (fitRows.isEmpty) {
+        val out = assign(ex, Tree(Split(1, 0L), Split(1, 0L), Split(1, 0L),
+          new Array[Long](4), new Array[Long](4))).limit(0).localCheckpoint(true)
+        // same ordered-output contract as the normal path (uniform even
+        // though the frame is empty today)
+        return out.orderBy(col("custkey"), col("partkey"))
+      }
+      val tree = fit(fitRows)
+      val res = assign(ex, tree).localCheckpoint(true)
+      res.orderBy(col("custkey"), col("partkey"))
+    } finally ex.unpersist()
   }
 
   /** DuckDB oracle: the full pipeline — repurchase label, integer

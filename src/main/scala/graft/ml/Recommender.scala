@@ -163,20 +163,21 @@ object Recommender {
         .cast("long"), lit(100L))
     val withBucket = ratings.withColumn("bucket", bucket).cache()
     val train = withBucket.filter(col("bucket") < trainPct).drop("bucket").cache()
-    val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
-    val model = als(seed).fit(train)
-    val ranked = model.recommendForAllUsers(candidatePool)
-      .select(col("user"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      .select(col("user"), col("pos"), col("rec.item").as("item"))
-      .join(train.select(col("user"), col("item")), Seq("user", "item"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user")).orderBy(col("pos"))
-    val top = ranked.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n).select(col("user"), col("item"))
-    val hits = test.join(top, Seq("user", "item"), "left_semi").count()
-    val total = test.count()
-    train.unpersist(); withBucket.unpersist()
-    if (total == 0) 0.0 else hits.toDouble / total
+    try {
+      val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
+      val model = als(seed).fit(train)
+      val ranked = model.recommendForAllUsers(candidatePool)
+        .select(col("user"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+        .select(col("user"), col("pos"), col("rec.item").as("item"))
+        .join(train.select(col("user"), col("item")), Seq("user", "item"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user")).orderBy(col("pos"))
+      val top = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n).select(col("user"), col("item"))
+      val hits = test.join(top, Seq("user", "item"), "left_semi").count()
+      val total = test.count()
+      if (total == 0) 0.0 else hits.toDouble / total
+    } finally { train.unpersist(); withBucket.unpersist() }
   }
 
   def holdoutMetricsOf(ratings: DataFrame, n: Int = 5,
@@ -186,22 +187,27 @@ object Recommender {
         .cast("long"), lit(100L))
     val withBucket = ratings.withColumn("bucket", bucket).cache()
     val train = withBucket.filter(col("bucket") < trainPct).drop("bucket").cache()
-    val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
-    val model = als(seed).fit(train)
-    val recs = model.recommendForAllUsers(n)
-      .select(col("user"), explode(col("recommendations.item")).as("item")).cache()
-    val hits = test.join(recs, Seq("user", "item"), "left_semi").count()
-    val total = test.count()
-    val hitRate = if (total == 0) 0.0 else hits.toDouble / total
-    val nRecs = recs.count()
-    val trainPrecision =
-      if (nRecs == 0) 0.0
-      else recs.join(train, Seq("user", "item"), "left_semi").count().toDouble / nRecs
-    val catalog = ratings.select(col("item")).distinct().count()
-    val avgTrainPerUser = train.groupBy(col("user")).count()
-      .agg(avg(col("count"))).head().getDouble(0)
-    val randomPrecision = avgTrainPerUser / catalog
-    recs.unpersist(); train.unpersist(); withBucket.unpersist()
-    (hitRate, if (randomPrecision == 0.0) 0.0 else trainPrecision / randomPrecision)
+    var recs: DataFrame = null
+    try {
+      val test = withBucket.filter(col("bucket") >= trainPct).drop("bucket")
+      val model = als(seed).fit(train)
+      recs = model.recommendForAllUsers(n)
+        .select(col("user"), explode(col("recommendations.item")).as("item")).cache()
+      val hits = test.join(recs, Seq("user", "item"), "left_semi").count()
+      val total = test.count()
+      val hitRate = if (total == 0) 0.0 else hits.toDouble / total
+      val nRecs = recs.count()
+      val trainPrecision =
+        if (nRecs == 0) 0.0
+        else recs.join(train, Seq("user", "item"), "left_semi").count().toDouble / nRecs
+      val catalog = ratings.select(col("item")).distinct().count()
+      val avgTrainPerUser = train.groupBy(col("user")).count()
+        .agg(avg(col("count"))).head().getDouble(0)
+      val randomPrecision = avgTrainPerUser / catalog
+      (hitRate, if (randomPrecision == 0.0) 0.0 else trainPrecision / randomPrecision)
+    } finally {
+      if (recs != null) recs.unpersist()
+      train.unpersist(); withBucket.unpersist()
+    }
   }
 }

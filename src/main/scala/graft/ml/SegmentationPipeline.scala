@@ -56,17 +56,17 @@ object SegmentationPipeline {
     val evaluator = new ClusteringEvaluator().setFeaturesCol("features")
       .setPredictionCol("prediction").setMetricName("silhouette")
     val cached = features.cache()
-    val fits = ks.map { k =>
-      val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      val model = new Pipeline().setStages(Array(assembler, scaler, km)).fit(cached)
-      val assigned = model.transform(cached)
-      val sil = evaluator.evaluate(assigned)
-      val wssse = model.stages.last.asInstanceOf[KMeansModel].summary.trainingCost
-      Fitted(model, k, sil, wssse)
-    }
-    // every fit/evaluate above is eager — release the feature cache
-    // instead of leaking it into the caller's session
-    cached.unpersist()
+    // every fit/evaluate is eager — release the feature cache in a
+    // finally (a failed fit must not leak it into the caller's session)
+    val fits =
+      try ks.map { k =>
+        val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+        val model = new Pipeline().setStages(Array(assembler, scaler, km)).fit(cached)
+        val assigned = model.transform(cached)
+        val sil = evaluator.evaluate(assigned)
+        val wssse = model.stages.last.asInstanceOf[KMeansModel].summary.trainingCost
+        Fitted(model, k, sil, wssse)
+      } finally cached.unpersist()
     fits.maxBy(f => (f.silhouette, -f.wssse))
   }
 

@@ -82,25 +82,26 @@ object MlQueries {
         import org.apache.spark.sql.functions._
         val c = Catalog(s, d)
         val f = SegmentationPipeline.features(c.customer, c.orders).cache()
-        val model = SegmentationPipeline.fitFixedK(f, 4)
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft_io", s"ml_model_$digest").toString
-        graft.serve.Serving.saveModel(model, path)
-        val loaded = graft.serve.Serving.loadModel(path)
-        val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
-        val re = loaded.transform(f).select(col("custkey"), col("prediction").as("p_loaded"))
-        // one-row comparison result: materialize it, release the
-        // feature cache (CacheHygieneSpec pins the empty manager)
-        val out = mem.join(re, Seq("custkey"))
-          .agg(
-            count(lit(1)).as("n_scored"),
-            sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)).as("n_mismatch"),
-            countDistinct(col("p_loaded")).as("n_clusters"))
-          .localCheckpoint(true)
-        f.unpersist()
-        out
+        try {
+          val model = SegmentationPipeline.fitFixedK(f, 4)
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+            "graft_io", s"ml_model_$digest").toString
+          graft.serve.Serving.saveModel(model, path)
+          val loaded = graft.serve.Serving.loadModel(path)
+          val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
+          val re = loaded.transform(f).select(col("custkey"), col("prediction").as("p_loaded"))
+          // one-row comparison result: materialize it, release the
+          // feature cache in the finally (CacheHygieneSpec pins the
+          // empty manager, now on the failure path too)
+          mem.join(re, Seq("custkey"))
+            .agg(
+              count(lit(1)).as("n_scored"),
+              sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)).as("n_mismatch"),
+              countDistinct(col("p_loaded")).as("n_clusters"))
+            .localCheckpoint(true)
+        } finally f.unpersist()
       }),
       None),
 

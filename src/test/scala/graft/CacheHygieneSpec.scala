@@ -101,4 +101,37 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
           s"id=$id name=${Option(rdd.name).getOrElse("?")} storage=${rdd.getStorageLevel.description}"
         }.mkString("[", "; ", "]"))
   }
+
+  /** The EXCEPTION half of the contract (r15): an operator that throws
+    * mid-build must release its caches on the way out, or a long-lived
+    * session accumulates one orphan per failed request. Two operators
+    * have deterministic in-domain throw paths, so the behavior is
+    * pinned executable rather than asserted in comments.
+    */
+  test("a non-converging components() throw releases every build cache") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      // maxIter=0 can never observe convergence -> the documented
+      // fail-loudly path, thrown AFTER the pair/edge/label caches exist
+      graft.ext.DedupClusters.components(docs, pairs, maxIter = 0)
+    }
+    assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "the non-convergence throw leaked the pair/edge/label build caches")
+  }
+
+  test("a rejected LabelPropagation input releases the adjacency cache") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = Seq((-1L, 2L), (2L, 3L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      // negative node ids violate the tie-break precondition -> require
+      // fires after the adjacency cache is registered
+      graft.ext.LabelPropagation.communities(edges)
+    }
+    assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "the negative-id require leaked the adjacency cache")
+  }
 }
