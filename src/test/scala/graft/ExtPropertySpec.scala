@@ -660,4 +660,66 @@ class ExtPropertySpec extends AnyFunSuite with SharedSpark {
         s"sample $i: packing depends on input partitioning")
     }
   }
+
+  // ---------------------------------------------------------------- mm
+
+  test("frame sampling ≡ driver codepoint chunking: content, counts, stride law") {
+    import graft.ext.Multimodal
+    // the engine chunks with substr()/length(), which operate on CODE
+    // POINTS — the driver reference must too, or astral-plane emoji
+    // (one code point, two UTF-16 units) shift every later boundary.
+    // Pools mix ASCII, CJK, combining marks, and astral emoji; sizes
+    // straddle the frame boundary (0, 63, 64, 65, 64k+1 ...).
+    val pool: Seq[String] = Seq("a", "b", " ", "\u65e5", "\u672c",
+      "\u00e9", "e\u0301", new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x1F680)))
+    val gen: Gen[String] = for {
+      n <- Gen.choose(0, 300)
+      toks <- Gen.listOfN(n, Gen.oneOf(pool))
+    } yield toks.mkString
+    val frameBytes = 64
+    val boundary = Seq("", "a" * 63, "a" * 64, "a" * 65,
+      new String(Character.toChars(0x1F600)) * 64,
+      new String(Character.toChars(0x1F600)) * 65)
+    val texts = (samples(gen, 1515L, 40) ++ boundary).distinct
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // driver reference: code-point chunks of frameBytes, indexed
+    def cpChunks(t: String): Seq[String] = {
+      val cps = t.codePoints.toArray
+      cps.grouped(frameBytes).map(a => new String(a, 0, a.length)).toSeq
+    }
+    val refRows = texts.zipWithIndex.flatMap { case (t, i) =>
+      cpChunks(t).zipWithIndex.map { case (c, j) => (i.toLong, j, c) }
+    }
+    // reference frame_len/frame_hash computed by the ENGINE over the
+    // DRIVER's chunk strings: equal multisets prove the posexplode +
+    // substr chunking produced exactly the reference chunks' content
+    val ref = refRows.toDF("doc_id", "frame_idx", "chunk")
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("chunk")).as("frame_len"),
+        graft.functions.RollingHash(col("chunk")).as("frame_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val allFrames = Multimodal.sampleFrames(docs, frameBytes, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(allFrames == ref,
+      "stride-1 frame sampling diverged from driver code-point chunking " +
+        s"(engine-only: ${(allFrames -- ref).take(3)}; ref-only: ${(ref -- allFrames).take(3)})")
+    // counts: ceil(cpLen / frameBytes), zero rows for the empty doc
+    val perDoc = allFrames.groupBy(_._1).view.mapValues(_.size).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = (t.codePointCount(0, t.length) + frameBytes - 1) / frameBytes
+      assert(perDoc.getOrElse(i.toLong, 0) == want,
+        s"doc $i: expected $want frames, got ${perDoc.getOrElse(i.toLong, 0)}")
+    }
+    // stride law: stride=4 is exactly the stride-1 set filtered on index
+    val strided = Multimodal.sampleFrames(docs, frameBytes, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(strided == allFrames.filter(_._2 % 4 == 0),
+      "stride=4 output is not the index-filtered stride-1 frame set")
+  }
 }
