@@ -163,11 +163,14 @@ object ExtensionQueries {
       // path (collision-freedom): sanitization alone is not injective
       // (/a/b and /a_b both sanitize to a_b), and a 32-bit hashCode
       // could collide silently once memoized
+      // under the per-process Scratch root: concurrent harness processes
+      // on the same sf never share (or race) a staged copy — the memo
+      // above still pays the copy once per process (r15, the mm3
+      // cross-process finding generalized)
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_io", "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
-      java.nio.file.Files.createDirectories(dir)
+      val dir = java.nio.file.Paths.get(graft.core.Scratch.dir(
+        "e4_events_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest))
       val rw = dir.toString + "_rw"
       s.read.parquet(s"$d/events.parquet").coalesce(1)
         .write.mode("overwrite").parquet(rw)
@@ -190,9 +193,8 @@ object ExtensionQueries {
     stagedDupDocs.getOrElseUpdate(d, {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_io", "e8_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
-      java.nio.file.Files.createDirectories(dir)
+      val dir = java.nio.file.Paths.get(graft.core.Scratch.dir(
+        "e8_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest))
       stageParquetPayload(
         java.nio.file.Paths.get(s"$d/documents.parquet"), dir, "batch0_")
       val slice = dir.toString + "_slice"
@@ -221,8 +223,8 @@ object ExtensionQueries {
     stagedSplitEvents.getOrElseUpdate(d, {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_io", "e10_split_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest)
+      val base = java.nio.file.Paths.get(graft.core.Scratch.path(
+        "e10_split_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest))
       val cut = to_timestamp(lit("2024-01-16 00:00:00")) // UTC session frame
       val raw = graft.core.EventTime.normalizeTs(s.read.parquet(s"$d/events.parquet"))
       def half(name: String, pred: org.apache.spark.sql.Column): String = {
@@ -625,8 +627,7 @@ object ExtensionQueries {
           Catalog(s, d).documents,
           Map("src0" -> 300, "src1" -> 230, "src2" -> 50, "src3" -> 0), 100,
           "graft-r9")
-        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft_io", "c6_shards").toString
+        val out = graft.core.Scratch.path("c6_shards")
         graft.sources.Writers.rangeSortedParquet(mix, out, "order_key", 8)
         s.read.parquet(out)
       }),
@@ -667,8 +668,7 @@ object ExtensionQueries {
     "mm3_real_decode" -> (
       ((s: SparkSession, d: String) => {
         val nonce = java.util.UUID.randomUUID().toString.take(8)
-        val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft_io", s"mm3_payloads_$nonce").toString
+        val dir = graft.core.Scratch.path(s"mm3_payloads_$nonce")
         Multimodal.realDecode(Catalog(s, d).documents, dir)
       }),
       Some(Multimodal.realDecodeOracle)),
@@ -780,8 +780,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runHourlyToParquet(
           s, stagedEventsDir(s, d),
-          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-            "graft_io", "e7_sink").toString)),
+          graft.core.Scratch.path("e7_sink"))),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
              |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
@@ -856,8 +855,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => {
         val (a, b) = stagedSplitEventFiles(s, d)
         graft.streaming.EventStream.runHourlyRestart(s, a, b,
-          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-            "graft_io", "e10_scratch").toString)
+          graft.core.Scratch.path("e10_scratch"))
       }),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,

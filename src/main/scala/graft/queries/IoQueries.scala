@@ -17,12 +17,7 @@ object IoQueries {
     * cold runs) reuse one directory instead of leaking a fresh temp copy
     * per run.
     */
-  private def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_io", name)
-    java.nio.file.Files.createDirectories(p)
-    p.toString
-  }
+  private def scratch(name: String): String = graft.core.Scratch.dir(name)
 
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = scratch("csv")

@@ -86,8 +86,9 @@ object MlQueries {
           val model = SegmentationPipeline.fitFixedK(f, 4)
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-            "graft_io", s"ml_model_$digest").toString
+          // per-process Scratch: a concurrent process's save cannot
+          // corrupt this one's load (r15)
+          val path = graft.core.Scratch.path(s"ml_model_$digest")
           graft.serve.Serving.saveModel(model, path)
           val loaded = graft.serve.Serving.loadModel(path)
           val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
