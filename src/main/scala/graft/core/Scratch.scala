@@ -17,24 +17,75 @@ package graft.core
   * while making cross-process interference structurally impossible.
   *
   * Lifecycle: one shutdown hook deletes the whole root best-effort at
-  * JVM exit, so repeated harness runs stop accumulating staged
-  * payloads in /tmp (a SIGKILLed JVM leaves its root behind — the
-  * documented residue of crash-killing any process mid-write).
+  * JVM exit. A SIGKILLed JVM skips its hook and leaves its root behind;
+  * the next process to initialize Scratch sweeps sibling roots whose
+  * mtime is older than [[staleAfterMs]] (24 h — far past any harness
+  * run's lifetime, so concurrent LIVE processes are untouched), closing
+  * the one documented residue.
   */
 object Scratch {
 
-  private val root: java.nio.file.Path = {
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_io", s"p$nonce")
-    java.nio.file.Files.createDirectories(p)
-    sys.addShutdownHook {
+  /** Sibling roots older than this are presumed orphaned by a killed
+    * JVM and swept at startup. 24 h: an order of magnitude past the
+    * longest harness run, so a concurrent live process's root (created
+    * minutes to hours ago) can never be swept from under it.
+    */
+  private[graft] val staleAfterMs: Long = 24L * 3600 * 1000
+
+  /** Delete `dir` recursively, deepest-first, best-effort. The walk
+    * stream is closed explicitly (it holds a directory handle);
+    * deepest-first comes from reverse-sorting the paths — a child path
+    * is lexicographically greater than its parent, so reverse order
+    * deletes children before directories (the r16 advisor note: don't
+    * rely on walk's preorder plus a reverse).
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                      catch { case _: Exception => () })
+    } finally walk.close()
+  }
+
+  /** Best-effort sweep of stale per-process roots under `base`
+    * (`$TMPDIR/graft_io`): every child whose mtime is older than
+    * `maxAgeMs` is deleted recursively. mtime-gated so concurrent live
+    * processes keep their roots; a root being written to concurrently
+    * has a fresh mtime on its leaf files even if the top dir is old —
+    * the gate checks the TOP dir only, which createDirectories stamps
+    * at process start, hence the generous 24 h margin rather than a
+    * tight one. Package-visible so ScratchSweepSpec can drive it on a
+    * planted directory without touching the live root.
+    */
+  private[graft] def sweepStale(base: java.nio.file.Path, maxAgeMs: Long): Unit = {
+    try {
+      if (!java.nio.file.Files.isDirectory(base)) return
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      val children = java.nio.file.Files.list(base)
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-                        catch { case _: Exception => () })
-      } catch { case _: Exception => () }
+        children.iterator().asScala.toSeq.foreach { child =>
+          try {
+            val mtime = java.nio.file.Files.getLastModifiedTime(child).toMillis
+            if (mtime < cutoff) deleteRecursively(child)
+          } catch { case _: Exception => () }
+        }
+      } finally children.close()
+    } catch { case _: Exception => () }
+  }
+
+  private val root: java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io")
+    sweepStale(base, staleAfterMs)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val p = base.resolve(s"p$nonce")
+    java.nio.file.Files.createDirectories(p)
+    sys.addShutdownHook {
+      try deleteRecursively(p) catch { case _: Exception => () }
     }
     p
   }

@@ -90,7 +90,15 @@ object DedupClusters {
       val next =
         if (iter % checkpointEvery == checkpointEvery - 1) nextRaw.localCheckpoint()
         else nextRaw.cache()
-      val changed = next.filter(col("relabeled")).limit(1).count()
+      // next's CacheManager entry registers eagerly but materializes in
+      // the probe count below — a throw there (executor loss, a hostile
+      // row surfacing mid-edge-evaluation) would leak it past the outer
+      // catch, which only covers the `labels` var. Release it here and
+      // rethrow; the outer catch then releases the previous round's
+      // labels (unpersist is idempotent — the r16 advisor note).
+      val changed =
+        try next.filter(col("relabeled")).limit(1).count()
+        catch { case t: Throwable => next.unpersist(); throw t }
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -244,10 +244,14 @@ object Multimodal {
     * never shuffles — encode is a map, decode is a map, the only wide op
     * is the final presentation sort.
     *
-    * `format` is derived from the DECODED first byte (PNG 0x89 / GIF 'G'
-    * / BMP 'B'), not from the manifest arithmetic: a decoder that
-    * misidentifies the container now fails the gate instead of matching
-    * by construction (the r14 advisor's vacuity note).
+    * `format` is a byte-level magic sniff (PNG 0x89 / GIF 'G' / BMP 'B')
+    * of the STAGED payload's first byte — captured from the raw bytes
+    * before codec parsing, so it proves the encode→parquet→stage round
+    * trip delivered the intended container, not the codec's own
+    * identification; the columns that actually exercise the decoder's
+    * parse are width/height/n_frames, which come from the image header
+    * and zero out if the genuine bytes fail to parse (the r14 advisor's
+    * vacuity note, wording tightened per the r16 advisor).
     *
     * The result materializes EAGERLY (unsorted localCheckpoint, sorted
     * lazily — the cache-release contract) and the staging dir is deleted

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object IoQueries {
 
-  /** Deterministic scratch dir per roundtrip query: every sink below
-    * writes mode("overwrite"), so repeated invocations (Bench's min-of-N
-    * cold runs) reuse one directory instead of leaking a fresh temp copy
-    * per run.
+  /** Scratch dir per roundtrip query, under the per-process root
+    * (`core/Scratch`): every sink below writes mode("overwrite"), so
+    * repeated invocations WITHIN one JVM (Bench's min-of-N cold runs)
+    * reuse one directory. Reuse is per-process only — each new process
+    * pays a fresh staged copy under its own nonce'd root, and the
+    * Scratch shutdown hook deletes the whole root at exit (the price of
+    * making cross-process races structurally impossible).
     */
   private def scratch(name: String): String = graft.core.Scratch.dir(name)
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.GraftSessionBridge
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Operator cache lifecycle: every multi-pass operator must release the
@@ -120,6 +121,37 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     }
     assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
       "the non-convergence throw leaked the pair/edge/label build caches")
+  }
+
+  test("a throw DURING a round's convergence probe releases the in-flight cache") {
+    // the r16 advisor note: with checkpointEvery > 1 a round's next frame
+    // is a .cache() whose CacheManager entry registers eagerly but
+    // materializes inside the probe count — a throw THERE (modeled with a
+    // pair column that throws on evaluation, standing in for executor
+    // loss or a hostile row) used to leak it, because the outer catch only
+    // covers the `labels` var, which is still the previous round's frame
+    // at probe time. maxIter=0 (the test above) never runs a round, so
+    // only this mid-probe path exercises the inner release.
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val boom = udf((x: Long) =>
+      if (x >= 0) throw new RuntimeException("probe-time boom") else x)
+    // the pair frame must NOT be a LocalRelation: ConvertToLocalRelation
+    // evaluates deterministic expressions (UDFs included) at PLANNING
+    // time, which would throw inside pairsC.cache()'s plan compilation —
+    // before any cache registers — and make this test vacuously green. A
+    // Range leaf keeps the UDF a runtime expression, so the throw lands
+    // inside the round-0 probe count with all four caches registered.
+    val pairs = spark.range(1)
+      .select(lit(1L).as("doc_a"), boom(col("id") + 2L).as("doc_b"))
+    intercept[Exception] {
+      graft.ext.DedupClusters.components(docs, pairs, maxIter = 5,
+        checkpointEvery = 3)
+    }
+    assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
+      "a throw inside the round-0 probe count leaked the in-flight round " +
+        "cache (or a build cache) past the operator's release paths")
   }
 
   test("a rejected LabelPropagation input releases the adjacency cache") {
