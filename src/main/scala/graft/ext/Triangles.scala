@@ -130,6 +130,37 @@ object Triangles {
     */
   private[graft] val bloomBroadcastMaxEdges: Long = 400000000L
 
+  /** Closure-sketch build: a `treeAggregate` of per-partition
+    * `util.sketch.BloomFilter`s over the precomputed xxhash64 column —
+    * NOT `stat.bloomFilter`, which in Spark 4.1 silently clamps the
+    * sketch to 64M bits (`spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits`'s default, applied even to the explicit-numBits
+    * overload): at m=10^7 that means 11% FPP instead of the requested
+    * 1%, and by m=5·10^7 the sketch saturates to a ~99%-FPP no-op that
+    * still pays its build and probe cost — measured live as the
+    * regime-2 form's pruned wedge shuffle CONVERGING to the unpruned
+    * semi-join's (30.02 GB = 30.02 GB at 96M edges,
+    * `bench_records/r16_regime3_probe.json`) and the form running
+    * SLOWER than the plain semi-join it is supposed to beat. (Raising
+    * the conf un-caps the SIZE but the aggregate still returns a
+    * ~98%-FP filter at 5·10^7 keys — the aggregate itself misbehaves
+    * past the cap, so the fix routes around it rather than tuning it.)
+    * The direct build is honest at every measured size (1.01% FP at
+    * 5·10^7 keys) and 2.7× faster than the stat path. Memory: each
+    * build task holds one sketch-sized partial (~1.2 MB per million
+    * edges at 1% FPP), so the transient build cost is one sketch per
+    * concurrent task — included in the [[bloomBroadcastMaxEdges]]
+    * regime bound's executor-memory budget.
+    */
+  private def closureBloom(oriented: DataFrame, m: Long)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    import oriented.sparkSession.implicits._
+    oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
+      .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(m, 0.01))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+  }
+
   private def undSimple(edges: DataFrame): DataFrame =
     edges
       .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
@@ -209,7 +240,7 @@ object Triangles {
     // verifies survivors, so false positives cost only shuffle bytes,
     // never correctness — the same broadcast-sketch-prunes-the-shuffle
     // pattern as [[BloomPrune]] and [[Decontaminate]]. The filter is
-    // built distributively (stat.bloomFilter = treeAggregate over the
+    // built distributively ([[closureBloom]] = treeAggregate over the
     // cached oriented list); only the finished sketch (~1.2 MB per
     // million edges at 1% FPP) lands on the driver and re-embeds as a
     // plan literal (the AnnIvf plan-constant license — Spark's own
@@ -246,7 +277,7 @@ object Triangles {
         // semi-join): same sketch, broadcast instead of plan-embedded,
         // UDF instead of the native BloomFilterMightContain (whose
         // filter side must be foldable)
-        val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+        val bf = closureBloom(oriented, m)
         val bfB = oriented.sparkSession.sparkContext.broadcast(bf)
         val mc = udf((h: Long) => bfB.value.mightContainLong(h))
         wedgeKeys
@@ -254,7 +285,7 @@ object Triangles {
           .join(closing.hint("shuffle_hash"), Seq("a", "b"))
       }
       else if (m <= bloomMaxEdges) {
-        val bf = oriented.stat.bloomFilter(expr("xxhash64(src, dst)"), m, 0.01)
+        val bf = closureBloom(oriented, m)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         val mightContain = {
