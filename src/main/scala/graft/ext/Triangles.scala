@@ -152,7 +152,7 @@ object Triangles {
     * concurrent task — included in the [[bloomBroadcastMaxEdges]]
     * regime bound's executor-memory budget.
     */
-  private def closureBloom(oriented: DataFrame, m: Long)
+  private[graft] def closureBloom(oriented: DataFrame, m: Long)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
     oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
