@@ -107,12 +107,19 @@ object Triangles {
     * the serialized plan to EVERY task — ProbeClosurePrune measured the
     * literal form 1.76× SLOWER than the broadcast-variable form at 24M
     * edges (51.5 s vs 29.3 s, `bench_records/r13_closure_prune_probe
-    * .json`), all of it task-binary deserialization of the 29 MB
-    * literal. 10^7 keeps the literal ≤ ~12 MB, where the two forms
-    * measure equal (6.42 vs 6.35 s at 2.4M edges) and the literal keeps
-    * whole-stage codegen.
+    * .json`), all of it task-binary deserialization of the literal.
+    * Retuned r16 after [[closureBloom]] made sketches honest (the old
+    * 10^7 bound leaned on a parity measurement taken with silently
+    * clamped sketches): with both forms building the same honest
+    * sketch, the broadcast form measures FASTER than the literal at
+    * every point from m=2.4M up (1.21×/1.24×/1.35× at 2.4/4.8/9.6M,
+    * `bench_records/r16_regime1_boundary_probe.json`), and at m ≤ 1.2M
+    * all three ladder forms sit within noise (4.0–4.6 s) — so the
+    * literal regime keeps only the band where its whole-stage-codegen
+    * probe is free to keep (≤ ~2.4 MB of literal) and the bound choice
+    * is immaterial to wall-clock.
     */
-  private[graft] val bloomLiteralMaxEdges: Long = 10000000L
+  private[graft] val bloomLiteralMaxEdges: Long = 2000000L
 
   /** Above [[bloomLiteralMaxEdges]] and up to this bound the closure
     * prune ships the same distributively-built sketch as a TORRENT
@@ -231,8 +238,10 @@ object Triangles {
     // survives the closing probe (1.9M there) — shuffling every wedge to
     // the (a, b) join is mostly wasted I/O (measured 10.2 s of g2's
     // cost). THREE forms, selected by the oriented edge count (the
-    // ladder measured in bench_records/r13_closure_prune_probe.json —
-    // all three row-identical, pinned in ExtSpec):
+    // ladder measured in bench_records/r13_closure_prune_probe.json and
+    // re-measured with honest sketches in r16_regime3_probe_fixed.json /
+    // r16_regime1_boundary_probe.json — all three row-identical, pinned
+    // in ExtSpec):
     //
     // m ≤ bloomLiteralMaxEdges — plan-literal Bloom: a filter of the
     // closing edge keys drops non-closing wedges MAP-SIDE (before the
@@ -246,7 +255,7 @@ object Triangles {
     // plan literal (the AnnIvf plan-constant license — Spark's own
     // runtime-filter aggregate is not in the public function registry,
     // and might_contain requires a foldable filter side). Stays inside
-    // whole-stage codegen; ≤ ~12 MB of literal at the cap.
+    // whole-stage codegen; ≤ ~2.4 MB of literal at the cap.
     //
     // bloomLiteralMaxEdges < m ≤ bloomBroadcastMaxEdges — the SAME
     // sketch as a broadcast VARIABLE + UDF pre-prune in front of the

@@ -122,6 +122,14 @@ object ProbeRegime3 {
       results += s"${scale}x_oriented_m" -> edges
         .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
         .where(col("u") =!= col("v")).distinct().count()
+      // optional regime-1 point (SPARK_GRAFT_R3_LITERAL=1): perNode's
+      // AUTO path is the plan-literal Bloom at m <= bloomLiteralMaxEdges
+      // — meaningful only at scales under the bound (8x: m = 9.57M, the
+      // honest-sketch boundary sliver the r16 fix re-opened, where the
+      // literal is now 11.5 MB of per-task plan payload instead of the
+      // clamped 8 MB)
+      if (sys.env.get("SPARK_GRAFT_R3_LITERAL").contains("1"))
+        measure("literal", scale) { Triangles.perNode(edges).count() }
       measure("bcastbloom", scale) {
         Triangles.perNodeBroadcastBloomClosure(edges).count()
       }
