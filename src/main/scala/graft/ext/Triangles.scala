@@ -127,7 +127,10 @@ object Triangles {
     * it through a scala UDF in front of the shuffled-hash closing join
     * — measured 1.38× faster than the unpruned semi-join at 24M edges
     * (29.3 s vs 40.5 s, the r13 probe, ≥ the 1.3× ship bar, under
-    * HIGHER ambient load). 4·10^8 caps the broadcast at ~480 MB —
+    * HIGHER ambient load), and with honest sketches 1.2×–2.3× faster
+    * at m = 12–96M with the margin growing in m
+    * (`bench_records/r16_regime3_probe_fixed.json`). 4·10^8 caps the
+    * broadcast at ~480 MB —
     * comfortably under Spark's 2 GB broadcast hard limit and a
     * reasonable executor-memory ask at the 100 TB design point; past it
     * the sketch itself becomes the memory problem and the closure

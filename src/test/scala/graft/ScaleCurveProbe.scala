@@ -31,10 +31,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (orderkey/custkey/partkey/user_id/event_id + replica * 10^9),
   *     so per-customer repurchase structure, per-user session
   *     structure, and per-order co-purchase fan-out are exactly the
-  *     original's — e2/q8/g2 row counts must scale exactly Nx. At 10x
-  *     the co-purchase graph is ~24M directed edges, which crosses the
-  *     closure-prune ladder's 10^7 plan-literal-Bloom bound into the
-  *     REGIME-2 broadcast-Bloom path (the r13 ladder's measured point).
+  *     original's — e2/q8/g2 row counts must scale exactly Nx. At 3x
+  *     and above the co-purchase graph (oriented m = N·1.2M) crosses
+  *     the closure-prune ladder's plan-literal-Bloom bound (2·10^6
+  *     since the r16 retune; 10^7 when the r15 curve was recorded)
+  *     into the REGIME-2 broadcast-Bloom path.
   *   - embeddings: Nx replicas with offset vec_ids, replica 0 keeping
   *     the originals — the s7 query set (vec_id < 10) and the bounded
   *     fit samples stay comparable while the scanned corpus grows Nx;
