@@ -28,9 +28,41 @@ object Scratch {
   /** Sibling roots older than this are presumed orphaned by a killed
     * JVM and swept at startup. 24 h: an order of magnitude past the
     * longest harness run, so a concurrent live process's root (created
-    * minutes to hours ago) can never be swept from under it.
+    * minutes to hours ago) can never be swept from under it — and a
+    * LIVE process older than that keeps its root alive by re-touching
+    * the root's mtime on use (see [[touchRoot]]), so the gate stays
+    * honest for arbitrarily long-lived JVMs (servers, long sessions),
+    * not just harness runs (the r16 advisor note: the mtime was only
+    * ever stamped at process start).
     */
   private[graft] val staleAfterMs: Long = 24L * 3600 * 1000
+
+  /** Minimum interval between root-mtime refreshes — dir()/path() are
+    * called on hot paths, so the touch is rate-limited to one syscall
+    * per hour; 1 h << [[staleAfterMs]], so any process that used its
+    * scratch root within the sweep window has a fresh mtime.
+    */
+  private[graft] val touchIntervalMs: Long = 3600L * 1000
+
+  /** Last root-touch epoch ms; package-visible so ScratchSweepSpec can
+    * rewind it and exercise the refresh without a 1 h sleep.
+    */
+  private[graft] val lastTouchMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  /** Refresh the live root's mtime (rate-limited, best-effort) so the
+    * stale sweep's 24 h gate never fires on a root its own process is
+    * still using.
+    */
+  private def touchRoot(): Unit = {
+    val now = System.currentTimeMillis()
+    val prev = lastTouchMs.get()
+    if (now - prev >= touchIntervalMs && lastTouchMs.compareAndSet(prev, now)) {
+      try java.nio.file.Files.setLastModifiedTime(root,
+        java.nio.file.attribute.FileTime.fromMillis(now))
+      catch { case _: Exception => () }
+    }
+  }
 
   /** Delete `dir` recursively, deepest-first, best-effort. The walk
     * stream is closed explicitly (it holds a directory handle);
@@ -53,12 +85,12 @@ object Scratch {
   /** Best-effort sweep of stale per-process roots under `base`
     * (`$TMPDIR/graft_io`): every child whose mtime is older than
     * `maxAgeMs` is deleted recursively. mtime-gated so concurrent live
-    * processes keep their roots; a root being written to concurrently
-    * has a fresh mtime on its leaf files even if the top dir is old —
-    * the gate checks the TOP dir only, which createDirectories stamps
-    * at process start, hence the generous 24 h margin rather than a
-    * tight one. Package-visible so ScratchSweepSpec can drive it on a
-    * planted directory without touching the live root.
+    * processes keep their roots; the gate checks the TOP dir only,
+    * which createDirectories stamps at process start and [[touchRoot]]
+    * re-stamps on use (rate-limited hourly), hence the generous 24 h
+    * margin stays honest even for JVMs that outlive it. Package-visible
+    * so ScratchSweepSpec can drive it on a planted directory without
+    * touching the live root.
     */
   private[graft] def sweepStale(base: java.nio.file.Path, maxAgeMs: Long): Unit = {
     try {
@@ -92,6 +124,7 @@ object Scratch {
 
   /** Path under the process root, created as a directory. */
   def dir(name: String): String = {
+    touchRoot()
     val p = root.resolve(name)
     java.nio.file.Files.createDirectories(p)
     p.toString
@@ -100,5 +133,8 @@ object Scratch {
   /** Path under the process root, NOT pre-created — for sinks whose
     * writers own directory creation (parquet/checkpoint writers).
     */
-  def path(name: String): String = root.resolve(name).toString
+  def path(name: String): String = {
+    touchRoot()
+    root.resolve(name).toString
+  }
 }

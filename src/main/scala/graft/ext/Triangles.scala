@@ -69,6 +69,20 @@ object Triangles {
   private[graft] def perNodeBroadcastBloomClosure(edges: DataFrame): DataFrame =
     countUnd(undSimple(edges), -2L)
 
+  /** [[perNode]] with the closure filter forced onto the PLAN-LITERAL
+    * Bloom form at ANY m (an effectively-infinite `bloomMaxEdges`
+    * bound; the regime-2 cap is still respected by the branch order, so
+    * this genuinely embeds the sketch as a literal) — probe-only, like
+    * the -1/-2 sentinels. Needed because the r16 retune dropped the
+    * auto path's literal band to m ≤ [[bloomLiteralMaxEdges]] = 2·10^6,
+    * below every synthesizable probe scale: a probe that wants the
+    * literal's cost curve above the bound must force it explicitly
+    * (ProbeRegime3's r16 'literal' points silently measured regime 2
+    * after the retune — the r16 advisor's finding).
+    */
+  private[graft] def perNodeLiteralBloomClosure(edges: DataFrame): DataFrame =
+    countUnd(undSimple(edges), Long.MaxValue)
+
   /** Degree-capped exact triangle counts — the 100×-scale companion to
     * [[perNode]]. Exact wedge enumeration is O(m^1.5): the bound is
     * tight exactly when the graph has a dense core (a near-clique of c
@@ -140,8 +154,8 @@ object Triangles {
     */
   private[graft] val bloomBroadcastMaxEdges: Long = 400000000L
 
-  /** Closure-sketch build: a `treeAggregate` of per-partition
-    * `util.sketch.BloomFilter`s over the precomputed xxhash64 column —
+  /** Closure-sketch build: per-partition `util.sketch.BloomFilter`
+    * partials folded inside `mapPartitions`, merged by `treeReduce` —
     * NOT `stat.bloomFilter`, which in Spark 4.1 silently clamps the
     * sketch to 64M bits (`spark.sql.optimizer.runtime.bloomFilter
     * .maxNumBits`'s default, applied even to the explicit-numBits
@@ -156,19 +170,31 @@ object Triangles {
     * ~98%-FP filter at 5·10^7 keys — the aggregate itself misbehaves
     * past the cap, so the fix routes around it rather than tuning it.)
     * The direct build is honest at every measured size (1.01% FP at
-    * 5·10^7 keys) and 2.7× faster than the stat path. Memory: each
-    * build task holds one sketch-sized partial (~1.2 MB per million
-    * edges at 1% FPP), so the transient build cost is one sketch per
-    * concurrent task — included in the [[bloomBroadcastMaxEdges]]
-    * regime bound's executor-memory budget.
+    * 5·10^7 keys) and 2.7× faster than the stat path.
+    *
+    * Why NOT `treeAggregate(BloomFilter.create(m, 0.01))(...)` (the
+    * first r16 shape, the r16 advisor's finding): Spark serializes the
+    * zeroValue INTO the per-partition aggregate closure, so the stage's
+    * task binary embeds the whole sketch and every task deserializes it
+    * — ~480 MB per task at the regime-2 cap, the exact per-task cost
+    * the plan-literal regime was demoted for, paid at build time.
+    * Creating the partial inside `mapPartitions` keeps every task
+    * closure sketch-free (only `m`, a long, is captured); each build
+    * task still holds one sketch-sized partial (~1.2 MB per million
+    * edges at 1% FPP) and each merge task holds ~2 during
+    * `mergeInPlace`, which is the [[bloomBroadcastMaxEdges]] regime
+    * bound's executor-memory budget.
     */
   private[graft] def closureBloom(oriented: DataFrame, m: Long)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
     oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
-      .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(m, 0.01))(
-        (f, h) => { f.putLong(h); f },
-        (a, b) => { a.mergeInPlace(b); a })
+      .mapPartitions { it =>
+        val f = org.apache.spark.util.sketch.BloomFilter.create(m, 0.01)
+        it.foreach(f.putLong)
+        Iterator.single(f)
+      }
+      .treeReduce((a, b) => { a.mergeInPlace(b); a })
   }
 
   private def undSimple(edges: DataFrame): DataFrame =

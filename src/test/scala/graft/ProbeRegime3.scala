@@ -122,14 +122,19 @@ object ProbeRegime3 {
       results += s"${scale}x_oriented_m" -> edges
         .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
         .where(col("u") =!= col("v")).distinct().count()
-      // optional regime-1 point (SPARK_GRAFT_R3_LITERAL=1): perNode's
-      // AUTO path is the plan-literal Bloom at m <= bloomLiteralMaxEdges
-      // — meaningful only at scales under the bound (8x: m = 9.57M, the
-      // honest-sketch boundary sliver the r16 fix re-opened, where the
-      // literal is now 11.5 MB of per-task plan payload instead of the
-      // clamped 8 MB)
+      // optional regime-1 point (SPARK_GRAFT_R3_LITERAL=1): the
+      // plan-literal Bloom form FORCED past the auto bound — after the
+      // r16 retune the auto path selects the literal only at
+      // m <= bloomLiteralMaxEdges = 2e6, under every synthesizable
+      // probe scale (1x is already ~1.2M oriented), so the probe must
+      // force the form explicitly to measure its cost curve (at 8x,
+      // m = 9.57M, that is ~11.5 MB of per-task plan payload with
+      // honest sketches; the r16 boundary probe's 'literal' points
+      // after the retune had silently measured regime 2)
       if (sys.env.get("SPARK_GRAFT_R3_LITERAL").contains("1"))
-        measure("literal", scale) { Triangles.perNode(edges).count() }
+        measure("literal", scale) {
+          Triangles.perNodeLiteralBloomClosure(edges).count()
+        }
       measure("bcastbloom", scale) {
         Triangles.perNodeBroadcastBloomClosure(edges).count()
       }

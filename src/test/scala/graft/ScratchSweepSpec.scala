@@ -44,6 +44,26 @@ class ScratchSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("dir()/path() refresh the live root's mtime past the rate limit") {
+    // r16 advisor: the root's mtime was only stamped at process start,
+    // so a JVM alive > 24 h would have its LIVE root swept by any newly
+    // launched process. dir()/path() now re-touch the root, rate-limited
+    // by touchIntervalMs — rewind the limiter and age the root instead
+    // of sleeping an hour.
+    val root = java.nio.file.Paths.get(graft.core.Scratch.dir("touch_probe"))
+      .getParent
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 25L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(root, old)
+    graft.core.Scratch.lastTouchMs.set(
+      System.currentTimeMillis() - graft.core.Scratch.touchIntervalMs - 1)
+    graft.core.Scratch.path("touch_probe2")
+    val mtime = java.nio.file.Files.getLastModifiedTime(root).toMillis
+    assert(System.currentTimeMillis() - mtime < 60000,
+      "a dir()/path() call past the rate limit did not refresh the live " +
+        "root's mtime — a >24h JVM's scratch would be swept from under it")
+  }
+
   test("sweepStale on a missing base is a no-op, not a throw") {
     val ghost = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_sweep_spec_missing")
