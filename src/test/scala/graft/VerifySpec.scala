@@ -31,6 +31,21 @@ class VerifySpec extends AnyFunSuite with SharedSpark {
     assert(!new java.io.File(s"$out/v_boom/_SUCCESS").exists())
   }
 
+  test("twinOf covers exactly the no-oracle queries, each mapped to a registered oracle-backed gate") {
+    val registered = SparkEntry.queries.keySet
+    val oracleBacked = SparkEntry.oracleSql.keySet
+    val noOracle = registered -- oracleBacked
+    // exact-cover both ways: a no_oracle query without a twin is an
+    // ungated product path; a twinOf key that HAS an oracle (or isn't
+    // registered) is a stale map entry
+    assert(SparkEntry.twinOf.keySet == noOracle,
+      s"twinOf keys ${SparkEntry.twinOf.keySet} != no-oracle queries $noOracle")
+    SparkEntry.twinOf.foreach { case (gate, twin) =>
+      assert(registered.contains(twin), s"twin '$twin' of '$gate' is not a registered query")
+      assert(oracleBacked.contains(twin), s"twin '$twin' of '$gate' has no oracle — it cannot gate anything")
+    }
+  }
+
   test("error manifest JSON escapes control characters (driver json.load survives)") {
     val raw = "AnalysisException: line1\nline2\ttab \"quoted\" back\\slash ctl"
     val escaped = Verify.jsonStr(raw)
