@@ -179,22 +179,59 @@ object Triangles {
     * — ~480 MB per task at the regime-2 cap, the exact per-task cost
     * the plan-literal regime was demoted for, paid at build time.
     * Creating the partial inside `mapPartitions` keeps every task
-    * closure sketch-free (only `m`, a long, is captured); each build
-    * task still holds one sketch-sized partial (~1.2 MB per million
-    * edges at 1% FPP) and each merge task holds ~2 during
-    * `mergeInPlace`, which is the [[bloomBroadcastMaxEdges]] regime
-    * bound's executor-memory budget.
+    * closure sketch-free (only `m`, a long, is captured).
+    *
+    * Why NOT `treeReduce` over the partials (the second r17 shape): its
+    * final level COLLECTS every surviving partial to the driver through
+    * `spark.driver.maxResultSize` — caught live by the r17 ceiling
+    * probe at n = 2·10⁸ ("Total size of serialized results of 5 tasks
+    * (1153.8 MiB) is bigger than spark.driver.maxResultSize (1024.0
+    * MiB)"), i.e. the build worked at every previously measured size
+    * and would have died exactly at the regime bound it exists for. So
+    * the merge runs EXECUTOR-side down to ONE sketch (repartition(1) +
+    * iterator fold — the single merge task streams partials off the
+    * shuffle, holding ≤ 2 at once) and the driver receives exactly one
+    * sketch, ≤ ~480 MB at the regime-2 cap, under the default 1 GiB
+    * maxResultSize by construction.
+    *
+    * Scale posture: the number of partials is bounded by
+    * [[bloomMaxPartials]] (a no-shuffle coalesce when the hash scan has
+    * more partitions), so the sketch-sized shuffle into the merge task
+    * is ≤ bloomMaxPartials × sketch — a constant in the corpus size —
+    * while the raw-hash scan keeps its native partitioning up to the
+    * bound (at local[32]'s 32 shuffle partitions the coalesce is a
+    * no-op). Per-task transient memory: one sketch-sized partial per
+    * concurrent build task, 2 in the merge task — the
+    * [[bloomBroadcastMaxEdges]] regime bound's executor-memory budget.
+    * Measured at the ceiling (`bench_records/r17_sketch_ceiling_probe
+    * .json`): bit size exactly optimal (9.59 bits/key), zero false
+    * negatives, FP 1.018% / 1.001% at n = 2·10⁸ / 4·10⁸ — the
+    * regime-2 bound no longer assumes sketch honesty, it has it
+    * measured end-to-end.
     */
+  private[graft] val bloomMaxPartials: Int = 64
+
   private[graft] def closureBloom(oriented: DataFrame, m: Long)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
-    oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
+    val hashes = oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
+    val bounded =
+      if (hashes.getNumPartitions > bloomMaxPartials)
+        hashes.coalesce(bloomMaxPartials)
+      else hashes
+    bounded
       .mapPartitions { it =>
         val f = org.apache.spark.util.sketch.BloomFilter.create(m, 0.01)
         it.foreach(f.putLong)
         Iterator.single(f)
       }
-      .treeReduce((a, b) => { a.mergeInPlace(b); a })
+      .repartition(1)
+      .mapPartitions { it =>
+        val acc = it.next()
+        it.foreach(acc.mergeInPlace)
+        Iterator.single(acc)
+      }
+      .collect().head
   }
 
   private def undSimple(edges: DataFrame): DataFrame =

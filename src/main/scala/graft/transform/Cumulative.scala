@@ -40,10 +40,27 @@ object Cumulative {
   /** Appends one inclusive running total per (inCol → outCol) entry,
     * ordered by `orderCol` ascending within the `bucket` blocks. The
     * helper `_b` column is dropped from the result.
+    *
+    * `materialize = true` localCheckpoints the bucketed input before
+    * the two passes, trading one materialization (write + read of the
+    * full frame, ContextCleaner-managed blocks) for the second
+    * evaluation of the upstream. Measured on the gated consumers at
+    * sf0.1 and on a 10× corpus (`bench_records/r17_cumulative_ab
+    * .json`): re-evaluation WINS everywhere the input is a parquet
+    * scan plus cheap column work — the totals pass prunes to
+    * (bucket, summed cols) and the scan is cheaper than writing the
+    * full frame to block storage — so the gated paths keep the
+    * default. Set `materialize = true` only when the upstream is
+    * genuinely expensive to recompute (a join/agg pipeline feeding
+    * the prefix sum) AND nondeterministic recomputation is a risk;
+    * deterministic upstreams stay correct either way (the bucket is a
+    * pure function of the data, never the layout).
     */
   def runningTotals(df: DataFrame, orderCol: String, bucket: Column,
-                    totals: Seq[(String, String)]): DataFrame = {
-    val withB = df.withColumn("_b", bucket)
+                    totals: Seq[(String, String)],
+                    materialize: Boolean = false): DataFrame = {
+    val withB0 = df.withColumn("_b", bucket)
+    val withB = if (materialize) withB0.localCheckpoint(true) else withB0
 
     val perBCols = totals.map { case (in, out) => sum(col(in)).as(s"_t_$out") }
     val perB = withB.groupBy(col("_b")).agg(perBCols.head, perBCols.tail: _*)
