@@ -730,8 +730,13 @@ object TextStats {
     val binned = g.crossJoin(broadcast(bounds))
     val bucket = floor((col("v") - col("_v0")) * lit(32L) /
       (col("_v1") - col("_v0") + lit(1L))).cast("int")
+    // materialize: the ECDF input is a corpus-wide groupBy whose output
+    // is tiny (distinct lengths) — checkpointing it is near-free and the
+    // agg evaluates once instead of twice (r17 A/B,
+    // bench_records/r17_cumulative_ab.json)
     val cum = graft.transform.Cumulative.runningTotals(
-      binned, "v", bucket, Seq("n_a" -> "c_a", "n_b" -> "c_b"))
+      binned, "v", bucket, Seq("n_a" -> "c_a", "n_b" -> "c_b"),
+      materialize = true)
     val totals = g.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     cum.drop("_v0", "_v1").crossJoin(broadcast(totals))
       .selectExpr(Seq("v", "n_a", "n_b", "c_a", "c_b", "t_a", "t_b") ++ ksExprs: _*)

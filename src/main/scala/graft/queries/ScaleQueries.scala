@@ -103,8 +103,13 @@ object ScaleQueries {
     val bounds = g.agg(min(col("v")).as("_v0"), max(col("v")).as("_v1"))
     val bucket = floor((col("v") - col("_v0")) * lit(32.0d) /
       (col("_v1") - col("_v0") + lit(1.0d))).cast("int")
+    // materialize: the prefix-sum input is a corpus-wide groupBy whose
+    // output is tiny (distinct prices) — checkpointing it is near-free
+    // and the agg evaluates once instead of twice (r17 A/B,
+    // bench_records/r17_cumulative_ab.json)
     val cum = graft.transform.Cumulative.runningTotals(
-      g.crossJoin(broadcast(bounds)), "v", bucket, Seq("n_v" -> "c_v"))
+      g.crossJoin(broadcast(bounds)), "v", bucket, Seq("n_v" -> "c_v"),
+      materialize = true)
       .drop("_v0", "_v1")
     val total = g.agg(sum(col("n_v")).as("n_total"))
     val binned = cum.crossJoin(broadcast(total))

@@ -44,17 +44,19 @@ object Cumulative {
     * `materialize = true` localCheckpoints the bucketed input before
     * the two passes, trading one materialization (write + read of the
     * full frame, ContextCleaner-managed blocks) for the second
-    * evaluation of the upstream. Measured on the gated consumers at
-    * sf0.1 and on a 10× corpus (`bench_records/r17_cumulative_ab
-    * .json`): re-evaluation WINS everywhere the input is a parquet
-    * scan plus cheap column work — the totals pass prunes to
-    * (bucket, summed cols) and the scan is cheaper than writing the
-    * full frame to block storage — so the gated paths keep the
-    * default. Set `materialize = true` only when the upstream is
-    * genuinely expensive to recompute (a join/agg pipeline feeding
-    * the prefix sum) AND nondeterministic recomputation is a risk;
-    * deterministic upstreams stay correct either way (the bucket is a
-    * pure function of the data, never the layout).
+    * evaluation of the upstream. Measured at 10M rows
+    * (`bench_records/r17_cumulative_ab.json`; the gated frames at
+    * sf0.1 are sub-second, within warm-up noise): re-evaluation WINS
+    * when the input is a narrow scan plus cheap column work (2.78 vs
+    * 3.05 s — the totals pass prunes to (bucket, summed cols) and a
+    * rescan is cheaper than writing the frame to block storage), and
+    * MATERIALIZE wins 1.38× when the input is an aggregation of the
+    * corpus (1.93 vs 2.66 s — the agg recomputes twice under
+    * re-evaluation). Callers follow that boundary: q59's scan-shaped
+    * index keeps the default; q61/t17's distinct-value frames (a
+    * corpus-wide groupBy whose OUTPUT is tiny, so the checkpoint is
+    * near-free) pass true. Correctness is identical either way — the
+    * bucket is a pure function of the data, never the layout.
     */
   def runningTotals(df: DataFrame, orderCol: String, bucket: Column,
                     totals: Seq[(String, String)],

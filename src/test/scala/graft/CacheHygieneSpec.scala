@@ -114,11 +114,11 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
+    intercept[IllegalStateException] { QuietExpectedThrows {
       // maxIter=0 can never observe convergence -> the documented
       // fail-loudly path, thrown AFTER the pair/edge/label caches exist
       graft.ext.DedupClusters.components(docs, pairs, maxIter = 0)
-    }
+    } }
     assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
       "the non-convergence throw leaked the pair/edge/label build caches")
   }
@@ -145,10 +145,10 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     // inside the round-0 probe count with all four caches registered.
     val pairs = spark.range(1)
       .select(lit(1L).as("doc_a"), boom(col("id") + 2L).as("doc_b"))
-    intercept[Exception] {
+    intercept[Exception] { QuietExpectedThrows {
       graft.ext.DedupClusters.components(docs, pairs, maxIter = 5,
         checkpointEvery = 3)
-    }
+    } }
     assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
       "a throw inside the round-0 probe count leaked the in-flight round " +
         "cache (or a build cache) past the operator's release paths")
@@ -158,11 +158,11 @@ class CacheHygieneSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     spark.catalog.clearCache()
     val edges = Seq((-1L, 2L), (2L, 3L)).toDF("src", "dst")
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { QuietExpectedThrows {
       // negative node ids violate the tie-break precondition -> require
       // fires after the adjacency cache is registered
       graft.ext.LabelPropagation.communities(edges)
-    }
+    } }
     assert(GraftSessionBridge.cacheManagerIsEmpty(spark),
       "the negative-id require leaked the adjacency cache")
   }

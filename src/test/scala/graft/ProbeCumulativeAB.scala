@@ -87,6 +87,27 @@ object ProbeCumulativeAB {
     // upstream that the reeval branch pays twice
     measure("q59_10x_inplan")(mat => q59Shape(docs10xPlan, mat))
 
+    // the gated corpus is tiny (sf0.1 documents = 5000 rows; everything
+    // above is sub-second, within warm-up noise) — the decision lane is
+    // a 10M-row synthetic corpus where the passes take real seconds
+    val big = graft.core.Scratch.path("cumab_docs_syn.parquet")
+    spark.range(0, sys.env.getOrElse("SPARK_GRAFT_CUMAB_N", "10000000").toLong)
+      .select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(big)
+    val bigDocs = spark.read.parquet(big)
+    results += "syn_rows" -> bigDocs.count()
+    // clean-scan upstream at 10M (the q59 gated shape, scaled)
+    measure("q59_syn_scan")(mat => q59Shape(bigDocs, mat))
+    // expensive upstream at 10M: an in-plan aggregation feeding the
+    // prefix sum (the recompute-twice worst case the materialization
+    // option exists for)
+    measure("q59_syn_agg") { mat =>
+      val derived = bigDocs
+        .groupBy((col("doc_id") % 2000000L).as("doc_id"))
+        .agg(count(lit(1)).as("_n")).drop("_n")
+      q59Shape(derived, mat)
+    }
+
     // ---- q61 shape: distinct-value frame + broadcast bounds ----
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     measure("q61_sf01") { mat =>

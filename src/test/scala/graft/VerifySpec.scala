@@ -21,8 +21,10 @@ class VerifySpec extends AnyFunSuite with SharedSpark {
       // fails at ACTION time (the write), not at plan time — the other
       // crash mode the manifest must catch
       Seq(("x")).toDF("s").selectExpr("assert_true(s = 'y') as a", "s")
-    val errors = Verify.dumpAll(spark, sf, out, Seq(
-      "v_good" -> good, "v_boom" -> boom, "v_lazy_boom" -> lazyBoom))
+    val errors = QuietExpectedThrows {
+      Verify.dumpAll(spark, sf, out, Seq(
+        "v_good" -> good, "v_boom" -> boom, "v_lazy_boom" -> lazyBoom))
+    }
     assert(errors.keySet == Set("v_boom", "v_lazy_boom"))
     assert(errors("v_boom").contains("deliberate"))
     // the healthy query's dump is present and readable
