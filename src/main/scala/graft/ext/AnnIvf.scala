@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -48,43 +48,34 @@ object AnnIvf {
       .fit(vecs).clusterCenters
   }
 
-  /** Per-centroid `struct(score, cell)` array, where
-    * `score = |c|^2 - 2 v*c` on the quantized integer grid: argmin of
-    * score is argmin of squared L2 (the dropped `|v|^2` is constant per
-    * row). Centroids are baked in as literals (driver-side, the moral
-    * equivalent of a broadcast), products are the codegen'd
-    * [[graft.functions.QuantizedDot]], and integer scores make the argmin
-    * deterministic on any engine/partitioning. Ties break to the lower
-    * cell id via lexicographic struct ordering.
+  /** Float/ML centroids quantized once on the driver — the table the
+    * scoring kernels ([[graft.functions.IvfNearestCell]] /
+    * [[graft.functions.IvfTopCells]]) loop over. The saturating
+    * quantizer (not a bare floor): a KMeans centroid fit on corrupt data
+    * could carry a non-finite mean, and an unclamped floor would wrap
+    * q*q — quantize() clamps Inf and zeroes NaN, exactly as dotQ
+    * quantized the same centroid when it was a plan literal. The
+    * float-first narrowing matches the literal form's `c.toFloat`
+    * (`typedLit(cf)`), so scores are bit-identical to the replaced
+    * expression forest (IvfExprSpec).
     */
-  private def cellScores(v: Column, cents: Array[Vector]): Column =
-    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      val cf = c.toArray.map(_.toFloat)
-      val c2 = cf.map { x =>
-        // the saturating quantizer (not a bare floor): a KMeans centroid
-        // fit on corrupt data could carry a non-finite mean, and the
-        // unclamped floor would wrap q*q — quantize() clamps Inf and
-        // zeroes NaN, matching dotQ's quantization of the same centroid
-        val q = graft.functions.QuantizedDot.quantize(x.toDouble)
-        q * q
-      }.sum
-      struct(
-        (lit(c2) - lit(2L) * VectorOps.dotQ(v, typedLit(cf))).as("score"),
-        lit(i).as("cell"))
-    }: _*)
+  private def quantCents(cents: Array[Vector]): Array[Array[Long]] =
+    cents.map(_.toArray.map(x =>
+      graft.functions.QuantizedDot.quantize(x.toFloat.toDouble)))
 
   /** (vec_id, cell, embedding, nrm): nearest-centroid assignment + norm
     * as ONE narrow projection — no join, no window, no exchange
     * (PlanSpec pins the exchange-free shape). The norm rides along here
     * because it is a per-vector invariant needed by every downstream
-    * rescore.
+    * rescore. The argmin kernel is native
+    * ([[graft.functions.IvfNearestCell]], ties to the lower cell id):
+    * the `array_min(struct(score, cell) forest)` it replaced generated
+    * code linear in nCells, compiling at gate geometry and falling out
+    * of whole-stage codegen at the √n cells a production corpus wants
+    * (see [[graft.functions.IvfOps]]).
     */
   def assign(embeddings: DataFrame, cents: Array[Vector]): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      array_min(cellScores(col("embedding"), cents)).getField("cell").as("cell"),
-      col("embedding"),
-      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"))
+    assignQ(embeddings, quantCents(cents))
 
   /** (qid, qv, qn, cell): each query replicated to its `nProbe` nearest
     * cells — one projection + generate, again exchange-free; the query
@@ -93,11 +84,7 @@ object AnnIvf {
     * same expression.
     */
   private[ext] def probeCells(queries: DataFrame, cents: Array[Vector], nProbe: Int): DataFrame =
-    queries.select(
-      col("vec_id").as("qid"), col("embedding").as("qv"),
-      sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"),
-      explode(slice(array_sort(cellScores(col("embedding"), cents)), 1, nProbe)).as("sc"))
-      .select(col("qid"), col("qv"), col("qn"), col("sc.cell").as("cell"))
+    probeCellsQ(queries, quantCents(cents), nProbe)
 
   /** Centroids = the vectors with the `nCells` smallest vec_ids. A
     * deterministic, SQL-replayable centroid choice: with it the WHOLE
@@ -114,40 +101,29 @@ object AnnIvf {
       .map(a => org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
   }
 
-  /** Quantized-integer centroid scoring: like [[cellScores]] but over
-    * centroids ALREADY on the 10^7 integer grid (`Array[Long]` per
-    * cell). Each quantized coordinate q re-enters [[VectorOps.dotQ]] as
-    * the double `(q + 0.5) / Grid`, whose re-quantization
-    * `floor(((q+0.5)/Grid)*Grid)` is exactly `q` for every |q| within
-    * the embedding range (the ±0.5 head-room absorbs the two rounding
-    * steps: total error < 1e-8 ≪ 0.5) — so the engine's integer scores
-    * are bit-identical to an oracle that never leaves the grid.
+  /** [[assign]] under quantized-integer centroids (the grid the kernels
+    * score on directly — the literal form's `(q + 0.5) / Grid` double
+    * roundtrip, which re-quantized to exactly q, is gone with the
+    * literals).
     */
-  private def cellScoresQ(v: Column, centsQ: Array[Array[Long]]): Column =
-    array(centsQ.toIndexedSeq.zipWithIndex.map { case (cq, i) =>
-      val c2 = cq.map(q => q * q).sum
-      val cd = cq.map(q => (q.toDouble + 0.5) / graft.functions.QuantizedDot.Grid)
-      struct(
-        (lit(c2) - lit(2L) * VectorOps.dotQ(v, typedLit(cd))).as("score"),
-        lit(i).as("cell"))
-    }: _*)
-
-  /** [[assign]] under quantized-integer centroids. */
   def assignQ(embeddings: DataFrame, centsQ: Array[Array[Long]]): DataFrame =
     embeddings.select(
       col("vec_id"),
-      array_min(cellScoresQ(col("embedding"), centsQ)).getField("cell").as("cell"),
+      graft.functions.IvfNearestCell.of(col("embedding"), centsQ).as("cell"),
       col("embedding"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"))
 
-  /** [[probeCells]] under quantized-integer centroids. */
+  /** [[probeCells]] under quantized-integer centroids: explode the
+    * native top-nProbe kernel ([[graft.functions.IvfTopCells]], ascending
+    * `(score, cell)` order — exactly the `slice(array_sort(...), 1,
+    * nProbe)` it replaced).
+    */
   private[ext] def probeCellsQ(queries: DataFrame, centsQ: Array[Array[Long]],
                                nProbe: Int): DataFrame =
     queries.select(
       col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("qn"),
-      explode(slice(array_sort(cellScoresQ(col("embedding"), centsQ)), 1, nProbe)).as("sc"))
-      .select(col("qid"), col("qv"), col("qn"), col("sc.cell").as("cell"))
+      explode(graft.functions.IvfTopCells.of(col("embedding"), centsQ, nProbe)).as("cell"))
 
   /** Deterministic fixed-iteration Lloyd on the integer grid — the
     * SQL-replayable k-means that lets the FITTED IVF path hash-gate
@@ -258,8 +234,8 @@ object AnnIvf {
   /** [[topK]] with caller-supplied centroids (fitted or fixed). */
   /** The operator's normal (qid, rank, cid, cosine) shape with zero
     * rows — what every IVF path returns when an empty corpus seeded
-    * zero cells (`array_min` over an empty centroid array would
-    * otherwise fail analysis).
+    * zero cells (the scoring kernels require at least one centroid,
+    * like the `array_min` forest they replaced).
     */
   private def emptyTopK(queries: DataFrame): DataFrame =
     queries.select(col("vec_id").as("qid"), lit(1).as("rank"),

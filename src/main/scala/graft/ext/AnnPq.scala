@@ -53,38 +53,23 @@ object AnnPq {
     Array.tabulate(nSub, nCodes)((m, j) => seeds(j).slice(m * dsub, (m + 1) * dsub))
   }
 
-  private def quantL(x: Float): Long =
-    graft.functions.QuantizedDot.quantize(x.toDouble)
-
-  /** Subspace-`m` slice of a vector column (`slice` is 1-based). */
-  private def sub(v: Column, m: Int, dsub: Int): Column = slice(v, m * dsub + 1, dsub)
-
-  /** Per-code `struct(score, code)` array for subspace `m`:
-    * `score = |c|² − 2·v_m·c` on the integer grid (argmin of score =
-    * argmin of subspace L2; ties to the lower code id via lexicographic
-    * struct ordering — the [[AnnIvf]] cellScores pattern).
-    */
-  private def codeScores(v: Column, m: Int, cb: Array[Array[Array[Float]]]): Column = {
-    val dsub = cb(m)(0).length
-    array(cb(m).toIndexedSeq.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => quantL(x) * quantL(x)).sum
-      struct(
-        (lit(c2) - lit(2L) * VectorOps.dotQ(sub(v, m, dsub), typedLit(c))).as("score"),
-        lit(j).as("code"))
-    }: _*)
-  }
-
   /** `(vec_id, codes, embedding, nrm)`: the PQ encoding as ONE narrow
     * exchange-free projection (PlanSpec-pinned, like IVF assign). At
     * scale only `(vec_id, codes)` is stored — the embedding/norm ride
     * along here because the local gate rescores exactly without a
     * second source scan.
+    *
+    * The encoding kernel is the native [[graft.functions.PqCodes]] (one
+    * compiled triple loop, ties to the lower code id) — the composed
+    * `array_min(array(struct(score, code)))` forest it replaced is
+    * bit-identical (PqExprSpec) but blew the 64 KB generated-method
+    * limit at the 8×16 geometry, so THIS scan — the index build — ran
+    * interpreted with 128 slice copies per corpus row.
     */
   def encode(embeddings: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame =
     embeddings.select(
       col("vec_id"),
-      array(cb.indices.map(m =>
-        array_min(codeScores(col("embedding"), m, cb)).getField("code")): _*).as("codes"),
+      graft.functions.PqCodes.of(col("embedding"), cb).as("codes"),
       col("embedding"),
       sqrt(VectorOps.dotQ(col("embedding"), col("embedding")).cast(DoubleType)).as("nrm"))
 
@@ -104,7 +89,7 @@ object AnnPq {
     // The code column goes through ONE thin exchange before the scoring
     // join. The exchange is a deliberate materialization barrier: fused
     // into the join stage, Catalyst's projection collapse re-evaluates
-    // the 128-subexpression encode per join-OUTPUT row (nQueries × the
+    // the full PQ encode kernel per join-OUTPUT row (nQueries × the
     // rows it should touch, and once per `codes` reference) — measured
     // 7.5 s vs 1.3 s on the sf0.1 gate for identical results. It is
     // also the deployment shape: what ships to the scoring stage at
@@ -115,11 +100,7 @@ object AnnPq {
       .repartition(spark.sparkContext.defaultParallelism)
     val qd = queries.select(
       col("vec_id").as("qid"),
-      array(cb.indices.map(m =>
-        array(cb(m).indices.map(j => {
-          val c2 = cb(m)(j).map(x => quantL(x) * quantL(x)).sum
-          lit(c2) - lit(2L) * VectorOps.dotQ(sub(col("embedding"), m, cb(m)(j).length), typedLit(cb(m)(j)))
-        }): _*)): _*).as("dtab"))
+      graft.functions.PqDistanceTable.of(col("embedding"), cb).as("dtab"))
     // the ADC sum unrolls into static GetArrayItem lookups (nSub is a
     // small fixed constant) — an `aggregate` lambda fold is
     // CodegenFallback and would push the scoring stage out of
@@ -181,11 +162,7 @@ object AnnPq {
       .repartition(spark.sparkContext.defaultParallelism)
     val qd = AnnIvf.probeCells(queries, cents, nProbe).select(
       col("qid"), col("cell"),
-      array(cb.indices.map(m =>
-        array(cb(m).indices.map(j => {
-          val c2 = cb(m)(j).map(x => quantL(x) * quantL(x)).sum
-          lit(c2) - lit(2L) * VectorOps.dotQ(sub(col("qv"), m, cb(m)(j).length), typedLit(cb(m)(j)))
-        }): _*)): _*).as("dtab"))
+      graft.functions.PqDistanceTable.of(col("qv"), cb).as("dtab"))
     val adcSum = cb.indices.map(m => col("dtab")(m)(col("codes")(m))).reduce(_ + _)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").asc, col("cid").asc)

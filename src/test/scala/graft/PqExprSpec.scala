@@ -1,0 +1,173 @@
+package graft
+
+import graft.functions.{PqCodes, PqDistanceTable, QuantizedDot}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the native PQ kernels ([[graft.functions.PqOps]]).
+  *
+  * The kernels replaced an `nSub × nCodes` forest of
+  * `slice` + [[QuantizedDot]] literal expressions whose generated
+  * `processNext()` exceeded the JVM's 64 KB method limit at the gate
+  * geometry (8×16) — janino failed and the PQ encode (the index-build
+  * corpus scan) silently ran INTERPRETED. This spec keeps three facts
+  * executable: (1) the kernels are bit-identical to the forest form —
+  * which is also the DuckDB oracle's arithmetic — on both eval paths,
+  * including adversarial values and tie-breaks; (2) they fail loudly on
+  * malformed vectors, like every graft vector kernel; (3) they COMPILE
+  * under whole-stage codegen where the forest form demonstrably cannot
+  * (the red baseline that proves the rewrite was load-bearing, not
+  * hygiene).
+  */
+class PqExprSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  /** The replaced expression-forest dtab, kept verbatim as the reference
+    * semantics: `|c|² − 2·v_m·c` per (m, j) from slice + quantized dot
+    * against a plan-literal code.
+    */
+  private def forestDtab(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    array(cb.indices.map(m =>
+      array(cb(m).indices.map { j =>
+        val dsub = cb(m)(j).length
+        val c2 = cb(m)(j).map { x =>
+          val q = QuantizedDot.quantize(x.toDouble); q * q
+        }.sum
+        lit(c2) - lit(2L) *
+          QuantizedDot.of(slice(v, m * dsub + 1, dsub), typedLit(cb(m)(j)))
+      }: _*)): _*)
+
+  /** The replaced forest encode: per-subspace `array_min` over
+    * `struct(score, code)` — ties to the lower code id by lexicographic
+    * struct ordering.
+    */
+  private def forestCodes(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    array(cb.indices.map { m =>
+      val dsub = cb(m)(0).length
+      array_min(array(cb(m).toIndexedSeq.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map { x => val q = QuantizedDot.quantize(x.toDouble); q * q }.sum
+        struct(
+          (lit(c2) - lit(2L) *
+            QuantizedDot.of(slice(v, m * dsub + 1, dsub), typedLit(c))).as("score"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+
+  private val rng = new scala.util.Random(170001L)
+  private val weird: Seq[Float] = Seq(
+    Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+    1e9f, -1e9f, 10.000000049f, -10.000000049f, 1e-9f, 0.0f, -0.0f)
+
+  private def randVec(dims: Int): Array[Float] =
+    Array.tabulate(dims)(_ =>
+      if (rng.nextInt(8) == 0) weird(rng.nextInt(weird.size))
+      else (rng.nextDouble() * 2 - 1).toFloat)
+
+  private def gateCb: Array[Array[Array[Float]]] =
+    Array.tabulate(8, 16)((m, j) =>
+      Array.tabulate(8)(i => (math.sin(m * 131 + j * 17 + i) / 2).toFloat))
+
+  test("kernels are bit-identical to the expression-forest form at the gate geometry") {
+    val cb = gateCb
+    // localCheckpoint: an RDD-scan leaf, so the selects below go through
+    // real whole-stage stages (a LocalRelation would constant-fold into
+    // the interpreted eval path only)
+    val vecs = (0L until 48L).map(i => (i, randVec(64)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // the forest side blows the 64 KB method limit here — its janino
+    // ERROR is the expected, documented event this spec exists around
+    val rows = QuietExpectedThrows {
+      vecs.select(
+        col("vec_id"),
+        PqDistanceTable.of(col("embedding"), cb).as("dtab"),
+        PqCodes.of(col("embedding"), cb).as("codes"),
+        forestDtab(col("embedding"), cb).as("fdtab"),
+        forestCodes(col("embedding"), cb).as("fcodes")).collect()
+    }
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      assert(r.getSeq[Seq[Long]](1) == r.getSeq[Seq[Long]](3),
+        s"dtab mismatch at vec_id=${r.getLong(0)}")
+      assert(r.getSeq[Int](2) == r.getSeq[Int](4),
+        s"codes mismatch at vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("interpreted path agrees on doubles at a small geometry (forest compiles there too)") {
+    val cb = Array.tabulate(2, 3)((m, j) =>
+      Array.tabulate(2)(i => (math.cos(m * 7 + j * 3 + i) / 3).toFloat))
+    // no checkpoint: the LocalRelation constant-folds through nullSafeEval
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 13 + d) * 1.5))).toDF("vec_id", "embedding")
+    val rows = vecs.select(
+      PqDistanceTable.of(col("embedding"), cb).as("dtab"),
+      PqCodes.of(col("embedding"), cb).as("codes"),
+      forestDtab(col("embedding"), cb).as("fdtab"),
+      forestCodes(col("embedding"), cb).as("fcodes")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Seq[Long]](0) == r.getSeq[Seq[Long]](2))
+      assert(r.getSeq[Int](1) == r.getSeq[Int](3))
+    }
+  }
+
+  test("argmin ties break to the lower code id") {
+    // codes 1 and 3 of subspace 0 are byte-identical: any vector scores
+    // them equally, and the code must be 1, never 3
+    val cb = Array.tabulate(2, 4)((m, j) =>
+      Array.tabulate(2)(i =>
+        if (m == 0 && (j == 1 || j == 3)) 0.25f
+        else (math.sin(m * 11 + j * 5 + i) / 2).toFloat))
+    val vecs = (0L until 12L).map(i => (i, randVec(4))).toDF("vec_id", "embedding")
+    val got = vecs.select(PqCodes.of(col("embedding"), cb).as("codes"),
+      forestCodes(col("embedding"), cb).as("fcodes")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      assert(r.getSeq[Int](0).head != 3, "tie resolved to the higher code id")
+    }
+  }
+
+  test("dimension mismatch and null elements fail loudly") {
+    val cb = gateCb
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](
+      short.select(PqCodes.of(col("embedding"), cb)).collect())
+    assert(msgChain(e1).contains("dims"))
+    val hole = Seq((1L, Array[java.lang.Float](1.0f, null) ++
+      Array.tabulate(62)(i => java.lang.Float.valueOf(i * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception](
+      hole.select(PqDistanceTable.of(col("embedding"), cb)).collect())
+    assert(msgChain(e2).contains("null element"))
+  }
+
+  test("kernels compile under whole-stage codegen; the forest they replaced cannot") {
+    val cb = gateCb
+    val vecs = (0L until 8L).map(i => (i, randVec(64)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // fallback=false turns a janino compile failure from a silent
+    // interpreted downgrade into a thrown error — the kernels must pass
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = vecs.select(
+        PqDistanceTable.of(col("embedding"), cb).as("dtab"),
+        PqCodes.of(col("embedding"), cb).as("codes"))
+        .where(col("codes")(0) >= 0 && col("dtab")(0)(0).isNotNull).count()
+      assert(n == 8)
+      // red baseline: the forest form at the same geometry fails to
+      // compile (Code grows beyond 64 KB) — proof this spec's subject
+      // was a real scale defect, not taste. The FULL array must be
+      // collected: any element extraction over the CreateArray forest
+      // gets simplified to that one element by SimplifyExtractValueOps,
+      // leaving nothing big to compile.
+      val thrown = QuietExpectedThrows {
+        intercept[Throwable](
+          vecs.select(forestDtab(col("embedding"), cb).as("fdtab")).collect())
+      }
+      assert(thrown != null)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+}

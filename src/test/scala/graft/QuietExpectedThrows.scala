@@ -18,11 +18,18 @@ package graft
   */
 object QuietExpectedThrows {
 
-  /** The loggers that print task/stage failure stacks in local mode. */
+  /** The loggers that print task/stage failure stacks in local mode,
+    * plus the codegen reporters (PqExprSpec deliberately compiles the
+    * replaced 64-KB-blowing expression forest as its red baseline — the
+    * janino failure stack and the fallback warning are the expected
+    * event there, not news).
+    */
   private val noisy = Seq(
     "org.apache.spark.executor.Executor",
     "org.apache.spark.scheduler.TaskSetManager",
-    "org.apache.spark.scheduler.DAGScheduler")
+    "org.apache.spark.scheduler.DAGScheduler",
+    "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+    "org.apache.spark.sql.execution.WholeStageCodegenExec")
 
   def apply[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
