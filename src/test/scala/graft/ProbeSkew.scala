@@ -5,43 +5,56 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev-only probe: measure the hot-key join ladder that SCALING.md and
-  * `transform/SkewJoin.scala` describe but no round has measured —
-  * "AQE's skew join splits oversized partitions; when a single key
-  * exceeds a partition the classic fix is salting". q37 gates the
-  * salted rewrite's CORRECTNESS (row-identical to the plain join); this
-  * probe measures what each form actually COSTS under a planted
-  * mega-key, so the engine's skew advice is a measurement, not folklore.
+  * `transform/SkewJoin.scala` describe but no round had measured — and
+  * pin down WHEN each defense actually engages.
   *
-  * Corpus: fact = 40M rows, 30% of them (12M) on ONE key — the
-  * one-mega-customer shape — the rest uniform over 2M keys; dim = 2M
-  * keys. Both shuffle-joined (auto-broadcast disabled at both the
-  * static and AQE layer — at 100 TB neither side of a fact-dim join
-  * this ratio broadcasts). Variants, min-of-2 each, interleaved:
+  * The probe's headline finding (see `r17_skew_probe.json`): **AQE's
+  * skew-join detection thresholds on COMPRESSED shuffle bytes
+  * (`skewedPartitionThresholdInBytes`), and a hot KEY is exactly the
+  * most compressible data there is** — a mega-key partition is a run of
+  * identical key values, so a partition carrying 13× the median ROWS
+  * can sit under the byte threshold and never split (measured here: a
+  * 20M-row hot partition compresses to ~51 MB against the 256 MB
+  * default — 13× the rows, invisible to the default detector; the
+  * first probe cut at a 16 MB threshold saw ZERO splits at 6M hot
+  * rows for the same reason). At 100 TB the motivating skew case — a
+  * boilerplate duplicate document, one mega-customer — is exactly this
+  * shape. The engine's deterministic salting
+  * ([[SkewJoin.innerSalted]]) is row-oriented and engages regardless,
+  * which is the measured justification for carrying it alongside AQE.
   *
-  *   - plain_skew_on:  plain inner join, AQE skew-split enabled with
-  *     cluster-tuned thresholds (16 MB skew threshold / 8 MB advisory —
-  *     the defaults' 256 MB floor never fires at probe scale; a real
-  *     cluster tunes these to its partition budget).
-  *   - plain_skew_off: the naive plan — the hot key's entire 12M-row
-  *     frame sorts and joins in ONE task.
-  *   - salted8/salted32: [[SkewJoin.innerSalted]] — the build side
-  *     replicated R times, the probe side scattered by a deterministic
-  *     hash of its full row, AQE skew-split left on (the forms compose).
+  * Corpus: fact = 40M rows, `hotPct`% on ONE key, rest uniform over 2M
+  * keys; dim = 2M keys. Both shuffle-joined (auto-broadcast disabled
+  * both statically and at AQE re-plan — the 100 TB fact-dim posture).
+  * Variants, interleaved across passes:
   *
-  * Every variant's aggregate output is checksummed and asserted
-  * identical — a speed number for a wrong answer is worthless.
+  *   - aqe_default: AQE skew-split at DEFAULT thresholds (256 MB/5×) —
+  *     expected NOT to fire on a compressible mega-key (the evasion).
+  *   - aqe_tuned: thresholds the hot partition's compressed bytes can
+  *     actually cross (1 MB/2×, advisory 4 MB) — the split fires
+  *     (`SortMergeJoin(skew=true)`, skewSplits in telemetry).
+  *   - skew_off: the naive plan — the hot key joins in ONE task
+  *     (maxTaskMs in the telemetry is the straggler).
+  *   - salted8: [[SkewJoin.innerSalted]] at default AQE thresholds —
+  *     the row-oriented defense, costing a dim replication (visible as
+  *     ~2× shuffle bytes) to cut the straggler 8×.
+  *
+  * Per-variant telemetry (a straggler is invisible to wall clock under
+  * ambient noise): per-stage task counts, CPU seconds, shuffle bytes,
+  * and MAX task duration; every variant's aggregate output is
+  * checksummed and asserted identical.
   *
   * Run: `sbt "Test/runMain graft.ProbeSkew"`; paste the JSON line into
-  * `bench_records/r17_skew_probe.json`. Sizes env-tunable:
+  * `bench_records/r17_skew_probe.json`. Env-tunable:
   * `SPARK_GRAFT_SKEW_FACT=40000000`, `SPARK_GRAFT_SKEW_DIM=2000000`,
-  * `SPARK_GRAFT_SKEW_HOT_PCT=30`.
+  * `SPARK_GRAFT_SKEW_HOT_PCT=50`.
   */
 object ProbeSkew {
 
   def main(args: Array[String]): Unit = {
     val nFact = sys.env.get("SPARK_GRAFT_SKEW_FACT").map(_.toLong).getOrElse(40000000L)
     val nDim = sys.env.get("SPARK_GRAFT_SKEW_DIM").map(_.toLong).getOrElse(2000000L)
-    val hotPct = sys.env.get("SPARK_GRAFT_SKEW_HOT_PCT").map(_.toInt).getOrElse(30)
+    val hotPct = sys.env.get("SPARK_GRAFT_SKEW_HOT_PCT").map(_.toInt).getOrElse(50)
 
     val spark = graft.core.GraftSession.local("skew_probe", 32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,13 +64,9 @@ object ProbeSkew {
     results += "dim_rows" -> nDim
     results += "hot_pct" -> hotPct
 
-    // fact: `hotPct`% of ids land on key 0 (the mega-key), the rest
-    // hash-uniform over the dim keyspace; v is a per-row payload so the
-    // salted form's full-row salt actually scatters the hot key
     val fact = spark.range(0, nFact).select(
       when(pmod(col("id"), lit(100)) < hotPct, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
-      col("id").as("rid"),
       (col("id") % 1000).as("v"))
       .localCheckpoint(true)
     val dim = spark.range(0, nDim)
@@ -68,50 +77,94 @@ object ProbeSkew {
     // AQE re-plan time
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    // let AQE's skew split actually fire at probe scale (its default
-    // 256 MB threshold is a cluster-sized floor)
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+    val defaultConf = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val tunedConf = defaultConf ++ Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+    val offConf = defaultConf + ("spark.sql.adaptive.skewJoin.enabled" -> "false")
 
     def agg(joined: DataFrame): DataFrame =
       joined.agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("chk"))
 
-    def run(df: => DataFrame): (Double, (Long, Long)) = {
+    // per-stage telemetry: task counts, CPU, shuffle write, and the MAX
+    // task duration (the straggler metric wall clock hides under noise)
+    case class StageRec(tasks: Int, runMs: Long, shuffleWrite: Long)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          stages.add(StageRec(sc.stageInfo.numTasks, m.executorRunTime,
+            m.shuffleWriteMetrics.bytesWritten))
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          var cur = maxTaskMs.get()
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        }
+      })
+
+    def run(df: => DataFrame): (Double, (Long, Long), String) = {
+      import scala.jdk.CollectionConverters._
+      stages.clear(); maxTaskMs.set(0)
       spark.sparkContext.setJobGroup("probe", "skew")
+      val adf = agg(df)
       val t0 = System.nanoTime()
-      val row = agg(df).collect()(0)
+      val row = adf.collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      (math.rint(sec * 1000) / 1000, (row.getLong(0), row.getLong(1)))
+      Thread.sleep(300) // listener drain
+      val ss = stages.asScala.toSeq
+      val plan = adf.queryExecution.executedPlan.toString
+      val splits = if (plan.contains("skew=true"))
+        s" skewSplits=${"AQEShuffleRead skewed".r.findAllIn(plan).size}" else ""
+      val tel = f"tasks=${ss.map(_.tasks).sum}%d " +
+        f"cpuSec=${ss.map(_.runMs).sum / 1000.0}%.1f " +
+        f"shuffleGB=${ss.map(_.shuffleWrite).sum / 1e9}%.2f " +
+        f"maxTaskSec=${maxTaskMs.get() / 1000.0}%.1f$splits"
+      (math.rint(sec * 1000) / 1000, (row.getLong(0), row.getLong(1)), tel)
     }
 
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "plain_skew_on" -> (() => fact.join(dim, "k")),
-      "plain_skew_off" -> (() => fact.join(dim, "k")),
-      "salted8" -> (() => SkewJoin.innerSalted(fact, dim, "k", saltBuckets = 8)),
-      "salted32" -> (() => SkewJoin.innerSalted(fact, dim, "k", saltBuckets = 32)))
+    val variants: Seq[(String, Map[String, String], () => DataFrame)] = Seq(
+      ("aqe_default", defaultConf, () => fact.join(dim, "k")),
+      ("aqe_tuned", tunedConf, () => fact.join(dim, "k")),
+      ("skew_off", offConf, () => fact.join(dim, "k")),
+      ("salted8", defaultConf, () => SkewJoin.innerSalted(fact, dim, "k", saltBuckets = 8)))
 
     var checksum: Option[(Long, Long)] = None
     val secs = scala.collection.mutable.Map.empty[String, List[Double]]
-    // two interleaved passes so ambient drift hits every variant equally
-    for (pass <- 1 to 2; (name, mk) <- variants) {
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
-        (name != "plain_skew_off").toString)
+    val maxTasks = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 1 to 2; (name, conf, mk) <- variants) {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      System.gc()
       val load = osBean.getSystemLoadAverage
-      val (sec, chk) = run(mk())
+      val (sec, chk, tel) = run(mk())
       checksum match {
         case None => checksum = Some(chk)
         case Some(c) => assert(c == chk,
           s"$name returned $chk, expected $c — a rewrite changed the answer")
       }
-      println(f"PROBE pass=$pass $name%-15s $sec%8.3f s load=$load%.2f chk=$chk")
+      println(f"PROBE pass=$pass $name%-12s $sec%8.3f s load=$load%.2f $tel chk=$chk")
       secs(name) = secs.getOrElse(name, Nil) :+ sec
+      maxTasks(name) = maxTasks.getOrElse(name, Nil) :+
+        ("maxTaskSec=([0-9.]+)".r.findFirstMatchIn(tel).map(_.group(1).toDouble).getOrElse(0.0))
       results += s"${name}_pass${pass}_load" -> (math.rint(load * 100) / 100)
+      results += s"${name}_pass${pass}_telemetry" -> tel
     }
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    defaultConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
-    for ((name, _) <- variants) {
+    for ((name, _, _) <- variants) {
       results += s"${name}_secs" -> secs(name).mkString("[", ",", "]")
       results += s"${name}_min_sec" -> secs(name).min
+      results += s"${name}_min_max_task_sec" -> maxTasks(name).min
     }
     results += "checksum_n" -> checksum.get._1
     results += "checksum_sum" -> checksum.get._2
