@@ -26,6 +26,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // skew detection thresholds on COMPRESSED shuffle bytes, and a
+      // hot KEY is maximally compressible (a run of identical values):
+      // at the stock 256 MB threshold a mega-key partition at 16x the
+      // median ROWS measured identical to skew-off (ProbeSkew,
+      // bench_records/r17_skew_probe.json). Pin the threshold to the
+      // advisory target so a skewed partition splits as soon as it is
+      // both over the advisory chunk size and 5x the median - inert on
+      // uniform workloads (the 5x median factor still gates), active
+      // exactly under real skew.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
