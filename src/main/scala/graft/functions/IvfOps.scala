@@ -37,8 +37,24 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   /** Quantized centroids, one `Array[Long]` per cell (all same length). */
   def centsQ: Array[Array[Long]]
 
+  // loud-failure convention (r18 advisory): AnnIvf's gated paths guard the
+  // zero-cell fit via emptyTopK, but assign/assignQ are public — a caller
+  // with an empty fit must get a named error here, not an opaque
+  // ArrayIndexOutOfBounds from the driver-side trait constructor.
+  require(centsQ.nonEmpty, s"$prettyName: at least one centroid required")
+
   protected val nCells: Int = centsQ.length
   protected val dims: Int = centsQ(0).length
+
+  // overflow bound for the fused score accumulator, derived not assumed:
+  // worst case |score| = c2 + 2·dims·QMax² <= 3·dims·QMax², so dims must
+  // stay below Long.MaxValue / (3·QMax²) = 307 for the long accumulator
+  // to be wrap-proof — TIGHTER than QuantizedDot.MaxDims (922) because
+  // the kernel fuses `c2 − 2·dot` into one accumulator. Same
+  // loud-error-over-silent-wrap rule as QuantizedDot.
+  require(dims <= PqExpression.MaxSubDims,
+    s"$prettyName: dims=$dims exceeds the overflow-safe bound " +
+      s"${PqExpression.MaxSubDims} (3 * dims * QMax^2 must stay below 2^63)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -34,10 +34,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 private[graft] sealed trait PqExpression extends UnaryExpression {
   def codebook: Array[Array[Array[Float]]]
 
+  // loud-failure convention (r18 advisory): a malformed codebook must name
+  // its defect at construction, not surface as a raw
+  // ArrayIndexOutOfBounds deep in qcb — and a ragged codebook with EXTRA
+  // codes in a later subspace would otherwise be silently truncated to
+  // subspace 0's count (a plausible-but-wrong index, the worst failure
+  // mode this engine has).
+  require(codebook.nonEmpty, s"$prettyName: codebook must have at least one subspace")
+  require(codebook(0).nonEmpty, s"$prettyName: subspace 0 has no codes")
+  require(codebook(0)(0).nonEmpty, s"$prettyName: codes must have at least one dimension")
+
   protected val nSub: Int = codebook.length
   protected val nCodes: Int = codebook(0).length
   protected val dsub: Int = codebook(0)(0).length
   protected val dims: Int = nSub * dsub
+
+  require(codebook.forall(_.length == nCodes),
+    s"$prettyName: ragged codebook — every subspace must have $nCodes codes, " +
+      s"got ${codebook.map(_.length).toSeq}")
+  // overflow bound for the kernel's own accumulator, derived not assumed:
+  // worst case |score| = c2 + 2*dsub*QMax^2 <= 3*dsub*QMax^2 per subspace
+  // term, so dsub (the per-subspace accumulation length) must stay below
+  // Long.MaxValue / (3*QMax^2) = 307 for the long accumulator to be
+  // wrap-proof — TIGHTER than QuantizedDot.MaxDims (922) because the
+  // forest form's lit(c2) - 2*dot subtraction is now fused into one
+  // accumulator. Mirrors QuantizedDot's loud-error-over-silent-wrap rule.
+  require(dsub <= PqExpression.MaxSubDims,
+    s"$prettyName: dsub=$dsub exceeds the overflow-safe per-subspace bound " +
+      s"${PqExpression.MaxSubDims} (3 * dsub * QMax^2 must stay below 2^63)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -260,6 +284,17 @@ case class PqDistanceTable(child: Expression, codebook: Array[Array[Array[Float]
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+private[graft] object PqExpression {
+  /** Wrap-proof per-subspace accumulation bound: worst case
+    * `|score| = c2 + 2·dot <= 3 · dsub · QMax²`, so
+    * `dsub <= 2^63 / (3·QMax²) = 307`. Tighter than
+    * [[QuantizedDot.MaxDims]] (922) because the kernel fuses `c2 − 2·dot`
+    * into one long accumulator where the forest form's dot was bounded
+    * alone.
+    */
+  val MaxSubDims: Long = Long.MaxValue / (3L * QuantizedDot.QMax * QuantizedDot.QMax)
 }
 
 object PqCodes {

@@ -141,6 +141,24 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
     assert(msgChain(e2).contains("null element"))
   }
 
+  test("malformed centroid tables fail loudly at construction (r18 advisory guards)") {
+    val v = col("embedding")
+    // empty fit: AnnIvf's gated paths guard via emptyTopK, but
+    // assign/assignQ are public — a zero-cell table must name the defect,
+    // not throw a raw ArrayIndexOutOfBounds from the trait constructor
+    val e1 = intercept[IllegalArgumentException](
+      IvfNearestCell.of(v, Array.empty[Array[Long]]))
+    assert(e1.getMessage.contains("at least one centroid"))
+    // overflow bound: the fused c2 - 2*dot accumulator wraps above
+    // dims = 307 with saturated values — tighter than QuantizedDot's 922,
+    // enforced at construction per its loud-error-over-silent-wrap rule
+    val wide = Array(Array.fill(308)(graft.functions.QuantizedDot.QMax))
+    val e2 = intercept[IllegalArgumentException](IvfTopCells.of(v, wide, 1))
+    assert(e2.getMessage.contains("overflow-safe"))
+    // 307 itself is inside the bound
+    IvfNearestCell.of(v, Array(Array.fill(307)(1L)))
+  }
+
   test("kernels compile at production geometry (512 cells); the forest cannot") {
     val cents = Array.tabulate(512)(c =>
       Array.tabulate(16)(i => (math.sin(c * 7 + i) / 2).toFloat))

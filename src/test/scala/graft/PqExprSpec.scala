@@ -144,6 +144,69 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
     assert(msgChain(e2).contains("null element"))
   }
 
+  test("kernels compile and match the forest arithmetic at the industry 8x256 geometry") {
+    // r17's own lesson ("a path verified only below its design point hides
+    // its failure exactly there") applied to this spec: the r17 pins stop
+    // at the 8x16 gate geometry, but production PQ is 256 codes (8-bit)
+    // per subspace. The kernel is constant-size in geometry by
+    // construction — this keeps that claim executable at the geometry
+    // users actually run.
+    val cb = Array.tabulate(8, 256)((m, j) =>
+      Array.tabulate(8)(i => (math.sin(m * 131 + j * 17 + i) / 2).toFloat))
+    val data = (0L until 24L).map(i => (i, randVec(64)))
+    // kernel side: RDD-backed leaf = real whole-stage codegen, and
+    // fallback=false turns any janino failure into a thrown error
+    val vecs = data.toDF("vec_id", "embedding").localCheckpoint(true)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val kernel = try {
+      vecs.select(
+        col("vec_id"),
+        PqCodes.of(col("embedding"), cb).as("codes"),
+        PqDistanceTable.of(col("embedding"), cb).as("dtab"))
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Seq[Long]](2))).toMap
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // reference side: the verbatim forest form on a LocalRelation —
+    // constant-folded interpreted eval, so the 2048-literal forest never
+    // meets janino and still supplies the reference arithmetic
+    val forest = data.toDF("vec_id", "embedding").select(
+      col("vec_id"),
+      forestCodes(col("embedding"), cb).as("fcodes"),
+      forestDtab(col("embedding"), cb).as("fdtab"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Seq[Long]](2))).toMap
+    assert(kernel.keySet == forest.keySet)
+    kernel.foreach { case (id, (codes, dtab)) =>
+      assert(codes == forest(id)._1, s"codes mismatch at vec_id=$id")
+      assert(dtab == forest(id)._2, s"dtab mismatch at vec_id=$id")
+    }
+  }
+
+  test("malformed codebooks fail loudly at construction (r18 advisory guards)") {
+    val v = col("embedding")
+    // ragged: subspace 1 has MORE codes than subspace 0 — before the
+    // guard, the extra codes were silently ignored (a plausible-but-wrong
+    // index); fewer codes died as a raw ArrayIndexOutOfBounds in qcb
+    val ragged = Array(
+      Array.tabulate(4)(j => Array.tabulate(4)(i => (j + i).toFloat)),
+      Array.tabulate(6)(j => Array.tabulate(4)(i => (j - i).toFloat)))
+    val e1 = intercept[IllegalArgumentException](PqCodes.of(v, ragged))
+    assert(e1.getMessage.contains("ragged codebook"))
+    // empty codebook / empty subspace: named error, not AIOOBE
+    val e2 = intercept[IllegalArgumentException](
+      PqCodes.of(v, Array.empty[Array[Array[Float]]]))
+    assert(e2.getMessage.contains("at least one subspace"))
+    val e3 = intercept[IllegalArgumentException](
+      PqDistanceTable.of(v, Array(Array.empty[Array[Float]])))
+    assert(e3.getMessage.contains("no codes"))
+    // overflow bound: the fused c2 - 2*dot accumulator wraps above
+    // dsub = 307 with saturated values — tighter than QuantizedDot's own
+    // 922 and enforced at construction, mirroring its loud-error rule
+    val wide = Array(Array(Array.fill(308)(0.5f)))
+    val e4 = intercept[IllegalArgumentException](PqCodes.of(v, wide))
+    assert(e4.getMessage.contains("overflow-safe"))
+    // 307 itself is inside the bound
+    PqCodes.of(v, Array(Array(Array.fill(307)(0.5f))))
+  }
+
   test("kernels compile under whole-stage codegen; the forest they replaced cannot") {
     val cb = gateCb
     val vecs = (0L until 8L).map(i => (i, randVec(64)))
