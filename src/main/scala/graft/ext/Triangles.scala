@@ -197,10 +197,8 @@ object Triangles {
     * Scale posture: the number of partials is bounded by
     * [[bloomMaxPartials]] (a no-shuffle coalesce when the hash scan has
     * more partitions), so the sketch-sized shuffle into the merge task
-    * is ≤ bloomMaxPartials × sketch — a constant in the corpus size —
-    * while the raw-hash scan keeps its native partitioning up to the
-    * bound (at local[32]'s 32 shuffle partitions the coalesce is a
-    * no-op). Per-task transient memory: one sketch-sized partial per
+    * is ≤ bloomMaxPartials × sketch — a constant in the corpus size.
+    * Per-task transient memory: one sketch-sized partial per
     * concurrent build task, 2 in the merge task — the
     * [[bloomBroadcastMaxEdges]] regime bound's executor-memory budget.
     * Measured at the ceiling (`bench_records/r17_sketch_ceiling_probe
@@ -209,15 +207,36 @@ object Triangles {
     * regime-2 bound no longer assumes sketch honesty, it has it
     * measured end-to-end.
     */
-  private[graft] val bloomMaxPartials: Int = 64
 
-  private[graft] def closureBloom(oriented: DataFrame, m: Long)
+  /** Partials bound for [[closureBloom]] — retuned 64 → 16 by direct
+    * measurement at the regime-2 ceiling
+    * (`bench_records/r18_bloom_merge_probe.json`, n = 4·10⁸, per-stage
+    * shuffle telemetry): every partial must be sized for the FULL key
+    * count to stay mergeable, so the single merge task deserializes and
+    * ORs `partials × 479 MB` regardless of how few keys each holds —
+    * merge wall measured LINEAR in the count (41.9 / 113.4 / 161.7 s at
+    * 16/32/64; at 64 the merge costs 2× the build scan itself), while
+    * the sketch is bit-identical across counts (same bits, FP 1.021%
+    * all three — the knob is pure cost tuning). The opposing cost —
+    * capping the hash-scan stage at 16 tasks — measured ~free: the fold
+    * writes 7 random bits/key into a 479 MB array and is memory-bound,
+    * not parallelism-bound (16 tasks: 69.8 s vs 64 tasks: 75.7 s on 32
+    * cores). Net: the ceiling build is 2.1× faster at 16 (112 vs
+    * 237 s). Shuffled BYTES are sub-linear in the count (sparser
+    * partials compress better: 4.9 / 7.1 / 9.5 GB) — bytes understate
+    * the merge's deserialize+OR cost 3×, which is why the r17 probe's
+    * byte-free telemetry missed this.
+    */
+  private[graft] val bloomMaxPartials: Int = 16
+
+  private[graft] def closureBloom(oriented: DataFrame, m: Long,
+      maxPartials: Int = bloomMaxPartials)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
     val hashes = oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
     val bounded =
-      if (hashes.getNumPartitions > bloomMaxPartials)
-        hashes.coalesce(bloomMaxPartials)
+      if (hashes.getNumPartitions > maxPartials)
+        hashes.coalesce(maxPartials)
       else hashes
     bounded
       .mapPartitions { it =>

@@ -40,7 +40,12 @@ class SimHashSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     // 40k tokens: overflows 15-bit lanes (2^15 = 32768) but fits 30-bit
     val big = Seq((1L, Seq.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
-    val e = intercept[Exception](SimHash.fingerprintsRelational(big, laneBits = 15).collect())
+    // quarantined: the raise_error fires inside a real task, and its
+    // QueryExecutionErrors.raiseError stack was the last expected throw
+    // still landing in the suite log (r17 verdict item 6)
+    val e = QuietExpectedThrows {
+      intercept[Exception](SimHash.fingerprintsRelational(big, laneBits = 15).collect())
+    }
     assert(e.getMessage.contains("lane overflow") ||
       Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("lane overflow"))))
     val wide = SimHash.fingerprintsRelational(big, laneBits = 30).collect()
@@ -49,7 +54,9 @@ class SimHashSpec extends AnyFunSuite with SharedSpark {
 
   test("token-count guard raises identically to the packed formulation's overflow") {
     val big = Seq((1L, Seq.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
-    val e = intercept[Exception](SimHash.fingerprints(big).collect())
+    val e = QuietExpectedThrows {
+      intercept[Exception](SimHash.fingerprints(big).collect())
+    }
     assert(e.getMessage.contains("lane overflow") ||
       e.getCause.getMessage.contains("lane overflow"))
   }
