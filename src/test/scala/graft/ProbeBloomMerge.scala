@@ -72,12 +72,48 @@ object ProbeBloomMerge {
         (col("id") + 30000000000L).as("dst"))
       .select(expr("xxhash64(src, dst)")).collect().map(_.getLong(0))
 
-    for (p <- variants) {
+    // tree-merge candidate (measured before productizing): keep the build
+    // stage WIDE (p partials) but merge in two levels — p -> fan -> 1 —
+    // so the serial single-task term shrinks from p sketches to `fan`
+    // while level 1 ORs in parallel. On a cluster this also restores
+    // build parallelism that a small maxPartials cap sacrifices.
+    def treeBloom(p: Int, fan: Int): org.apache.spark.util.sketch.BloomFilter = {
+      import org.apache.spark.sql.functions.expr
+      val hashes = inserted.select(expr("xxhash64(src, dst)"))
+        .rdd.map(_.getLong(0))
+      val bounded =
+        if (hashes.getNumPartitions > p) hashes.coalesce(p) else hashes
+      bounded
+        .mapPartitions { it =>
+          val f = org.apache.spark.util.sketch.BloomFilter.create(n, 0.01)
+          it.foreach(f.putLong)
+          Iterator.single(f)
+        }
+        .repartition(fan)
+        .mapPartitions { it =>
+          if (it.hasNext) {
+            val acc = it.next(); it.foreach(acc.mergeInPlace); Iterator.single(acc)
+          } else Iterator.empty
+        }
+        .repartition(1)
+        .mapPartitions { it =>
+          val acc = it.next(); it.foreach(acc.mergeInPlace); Iterator.single(acc)
+        }
+        .collect().head
+    }
+
+    val treeVariants = sys.env.get("SPARK_GRAFT_BLOOM_TREE")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+
+    for (p <- variants ++ treeVariants) {
+      val isTree = treeVariants.contains(p) && !variants.contains(p)
       stages.synchronized(stages.clear())
       System.gc()
       val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
-      val bf = Triangles.closureBloom(inserted, n, maxPartials = p)
+      val bf =
+        if (isTree) treeBloom(p, fan = 8)
+        else Triangles.closureBloom(inserted, n, maxPartials = p)
       val sec = (System.nanoTime() - t0) / 1e9
       // wait for straggling stage-completed events before reading (the
       // listener bus is async; the merge stage's event can land after
@@ -95,20 +131,21 @@ object ProbeBloomMerge {
       val mergeWallMs = merge.map(_._6).sum
       val buildWallMs = build.map(_._6).sum
       val fp = probeSample.count(bf.mightContainLong).toDouble / probeSample.length
-      println(f"PROBE partials=$p%-3d total=${math.rint(sec * 1000) / 1000}%.3f s " +
+      val tag = if (isTree) s"p${p}tree" else s"p$p"
+      println(f"PROBE $tag%-8s total=${math.rint(sec * 1000) / 1000}%.3f s " +
         f"buildTasks=${build.map(_._2).sum}%d buildWall=${buildWallMs / 1000.0}%.1f s " +
         f"mergeRead=${readB / 1e9}%.2f GB mergeWall=${mergeWallMs / 1000.0}%.1f s " +
         f"bits=${bf.bitSize()}%d fp=$fp%.5f")
-      results += s"p${p}_total_sec" -> (math.rint(sec * 1000) / 1000)
-      results += s"p${p}_load" -> (math.rint(load * 100) / 100)
-      results += s"p${p}_build_tasks" -> build.map(_._2).sum
-      results += s"p${p}_build_wall_sec" -> (buildWallMs / 1000.0)
-      results += s"p${p}_shuffle_write_gb" -> (math.rint(writeB / 1e7) / 100.0)
-      results += s"p${p}_merge_read_gb" -> (math.rint(readB / 1e7) / 100.0)
-      results += s"p${p}_merge_wall_sec" -> (mergeWallMs / 1000.0)
-      results += s"p${p}_bit_size" -> bf.bitSize()
-      results += s"p${p}_bits_optimal" -> (bf.bitSize() >= optimalBits)
-      results += s"p${p}_fp_rate" -> (math.rint(fp * 100000) / 100000.0)
+      results += s"${tag}_total_sec" -> (math.rint(sec * 1000) / 1000)
+      results += s"${tag}_load" -> (math.rint(load * 100) / 100)
+      results += s"${tag}_build_tasks" -> build.map(_._2).sum
+      results += s"${tag}_build_wall_sec" -> (buildWallMs / 1000.0)
+      results += s"${tag}_shuffle_write_gb" -> (math.rint(writeB / 1e7) / 100.0)
+      results += s"${tag}_merge_read_gb" -> (math.rint(readB / 1e7) / 100.0)
+      results += s"${tag}_merge_wall_sec" -> (mergeWallMs / 1000.0)
+      results += s"${tag}_bit_size" -> bf.bitSize()
+      results += s"${tag}_bits_optimal" -> (bf.bitSize() >= optimalBits)
+      results += s"${tag}_fp_rate" -> (math.rint(fp * 100000) / 100000.0)
     }
 
     val json = results.map {
