@@ -22,7 +22,7 @@ class IngestionSpec extends AnyFunSuite with SharedSpark {
 
   test("canary: event times land in the generator's era, not 1970") {
     val mm = Catalog(spark, sf).events
-      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
     assert(mm.getInt(0) >= 2020 && mm.getInt(1) <= 2030,
       s"event-time years [${mm.getInt(0)}, ${mm.getInt(1)}] outside the sane era " +
         "— a unit mix-up (nanos/micros/millis) compresses or dilates the timeline")

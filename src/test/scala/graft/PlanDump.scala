@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder.master("local[4]")
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     for (q <- args) {

@@ -99,7 +99,7 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
       Array.tabulate(2)(i => (math.cos(m * 7 + j * 3 + i) / 3).toFloat))
     // no checkpoint: the LocalRelation constant-folds through nullSafeEval
     val vecs = (0L until 20L).map(i =>
-      (i, Array.tabulate(4)(d => math.sin(i * 13 + d) * 1.5))).toDF("vec_id", "embedding")
+      (i, Array.tabulate(4)(d => math.sin((i * 13 + d).toDouble) * 1.5))).toDF("vec_id", "embedding")
     val rows = vecs.select(
       PqDistanceTable.of(col("embedding"), cb).as("dtab"),
       PqCodes.of(col("embedding"), cb).as("codes"),
