@@ -46,15 +46,42 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   protected val nCells: Int = centsQ.length
   protected val dims: Int = centsQ(0).length
 
-  // overflow bound for the fused score accumulator, derived not assumed:
-  // worst case |score| = c2 + 2·dims·QMax² <= 3·dims·QMax², so dims must
-  // stay below Long.MaxValue / (3·QMax²) = 307 for the long accumulator
-  // to be wrap-proof — TIGHTER than QuantizedDot.MaxDims (922) because
-  // the kernel fuses `c2 − 2·dot` into one accumulator. Same
-  // loud-error-over-silent-wrap rule as QuantizedDot.
-  require(dims <= PqExpression.MaxSubDims,
-    s"$prettyName: dims=$dims exceeds the overflow-safe bound " +
-      s"${PqExpression.MaxSubDims} (3 * dims * QMax^2 must stay below 2^63)")
+  // overflow guard for the fused score accumulator, EXACT rather than
+  // assumed: the input side is clamped at ±QMax per element by the
+  // quantizer, and the centroid table is known here, so the true worst
+  // case is per-cell |score| <= c2(c) + 2·QMax·Σ|q_ci| — checked against
+  // 2^63 for every cell. A blanket dims bound (307 = 2^63/(3·QMax²))
+  // would assume SATURATED values (|x| >= 10) in every position and
+  // reject legitimate geometries like 768-dim normalized embeddings
+  // where wrap is impossible; this guard fails loudly exactly when wrap
+  // is actually reachable, mirroring QuantizedDot's
+  // loud-error-over-silent-wrap rule with its derivation sharpened.
+  require({
+    var ok = true
+    var c = 0
+    while (ok && c < nCells) {
+      var c2v = 0L; var sumAbs = 0L; var i = 0
+      while (i < dims) {
+        val q = centsQ(c)(i)
+        // c2 itself can wrap while being accumulated at extreme dims ×
+        // saturation; detect via Math.*Exact and treat as over-bound
+        try {
+          c2v = Math.addExact(c2v, Math.multiplyExact(q, q))
+          sumAbs = Math.addExact(sumAbs, math.abs(q))
+        } catch { case _: ArithmeticException => ok = false }
+        i += 1
+      }
+      if (ok) {
+        try Math.addExact(c2v, Math.multiplyExact(2L * QuantizedDot.QMax, sumAbs))
+        catch { case _: ArithmeticException => ok = false }
+      }
+      c += 1
+    }
+    ok
+  }, s"$prettyName: centroid table exceeds the overflow-safe bound — worst-case " +
+    s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63 for every cell " +
+    s"(reduce dims or centroid magnitudes; saturated values allow at most " +
+    s"${PqExpression.MaxSubDims} dims)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -52,16 +52,44 @@ private[graft] sealed trait PqExpression extends UnaryExpression {
   require(codebook.forall(_.length == nCodes),
     s"$prettyName: ragged codebook — every subspace must have $nCodes codes, " +
       s"got ${codebook.map(_.length).toSeq}")
-  // overflow bound for the kernel's own accumulator, derived not assumed:
-  // worst case |score| = c2 + 2*dsub*QMax^2 <= 3*dsub*QMax^2 per subspace
-  // term, so dsub (the per-subspace accumulation length) must stay below
-  // Long.MaxValue / (3*QMax^2) = 307 for the long accumulator to be
-  // wrap-proof — TIGHTER than QuantizedDot.MaxDims (922) because the
-  // forest form's lit(c2) - 2*dot subtraction is now fused into one
-  // accumulator. Mirrors QuantizedDot's loud-error-over-silent-wrap rule.
-  require(dsub <= PqExpression.MaxSubDims,
-    s"$prettyName: dsub=$dsub exceeds the overflow-safe per-subspace bound " +
-      s"${PqExpression.MaxSubDims} (3 * dsub * QMax^2 must stay below 2^63)")
+  // overflow guard for the fused score accumulator, EXACT rather than
+  // assumed: the input side is clamped at ±QMax per element by the
+  // quantizer and the codebook is known here, so the true worst case is
+  // per-code |score| <= c2(m,j) + 2·QMax·Σ|q_code| — checked against
+  // 2^63 for every code. A blanket dsub bound (307 = 2^63/(3·QMax²))
+  // would assume SATURATED values in every position and reject
+  // legitimate wide subspaces where wrap is impossible; this fails
+  // loudly exactly when wrap is reachable, mirroring QuantizedDot's
+  // loud-error-over-silent-wrap rule with its derivation sharpened.
+  require({
+    var ok = true
+    var m = 0
+    while (ok && m < nSub) {
+      var j = 0
+      while (ok && j < nCodes) {
+        val code = codebook(m)(j)
+        var c2v = 0L; var sumAbs = 0L; var i = 0
+        while (i < code.length) {
+          val q = QuantizedDot.quantize(code(i).toDouble)
+          try {
+            c2v = Math.addExact(c2v, Math.multiplyExact(q, q))
+            sumAbs = Math.addExact(sumAbs, math.abs(q))
+          } catch { case _: ArithmeticException => ok = false }
+          i += 1
+        }
+        if (ok) {
+          try Math.addExact(c2v, Math.multiplyExact(2L * QuantizedDot.QMax, sumAbs))
+          catch { case _: ArithmeticException => ok = false }
+        }
+        j += 1
+      }
+      m += 1
+    }
+    ok
+  }, s"$prettyName: codebook exceeds the overflow-safe bound — worst-case " +
+    s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63 for every code " +
+    s"(reduce dsub or code magnitudes; saturated values allow at most " +
+    s"${PqExpression.MaxSubDims} dims per subspace)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -287,12 +315,16 @@ case class PqDistanceTable(child: Expression, codebook: Array[Array[Array[Float]
 }
 
 private[graft] object PqExpression {
-  /** Wrap-proof per-subspace accumulation bound: worst case
-    * `|score| = c2 + 2·dot <= 3 · dsub · QMax²`, so
-    * `dsub <= 2^63 / (3·QMax²) = 307`. Tighter than
-    * [[QuantizedDot.MaxDims]] (922) because the kernel fuses `c2 − 2·dot`
+  /** Saturated-worst-case accumulation bound, quoted in the overflow
+    * guards' error messages: with every element clamped at ±QMax,
+    * `|score| = c2 + 2·dot <= 3 · dims · QMax²`, so at most
+    * `2^63 / (3·QMax²) = 307` dims are wrap-proof — tighter than
+    * [[QuantizedDot.MaxDims]] (922) because the kernels fuse `c2 − 2·dot`
     * into one long accumulator where the forest form's dot was bounded
-    * alone.
+    * alone. The guards themselves are EXACT per cell/code (they bound
+    * `c2 + 2·QMax·Σ|c|` against the actual table), so non-saturated wide
+    * geometries — 768-dim normalized embeddings — stay accepted; this
+    * constant is the floor no table can be rejected under.
     */
   val MaxSubDims: Long = Long.MaxValue / (3L * QuantizedDot.QMax * QuantizedDot.QMax)
 }

@@ -149,14 +149,18 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
     val e1 = intercept[IllegalArgumentException](
       IvfNearestCell.of(v, Array.empty[Array[Long]]))
     assert(e1.getMessage.contains("at least one centroid"))
-    // overflow bound: the fused c2 - 2*dot accumulator wraps above
-    // dims = 307 with saturated values — tighter than QuantizedDot's 922,
-    // enforced at construction per its loud-error-over-silent-wrap rule
+    // overflow guard, EXACT per cell: with saturated centroids (q = QMax)
+    // the fused c2 - 2*dot accumulator wraps above dims = 307 — rejected
+    // at construction with a named error
     val wide = Array(Array.fill(308)(graft.functions.QuantizedDot.QMax))
     val e2 = intercept[IllegalArgumentException](IvfTopCells.of(v, wide, 1))
     assert(e2.getMessage.contains("overflow-safe"))
-    // 307 itself is inside the bound
-    IvfNearestCell.of(v, Array(Array.fill(307)(1L)))
+    // 307 saturated dims sit exactly inside the bound
+    IvfNearestCell.of(v, Array(Array.fill(307)(graft.functions.QuantizedDot.QMax)))
+    // and the guard is worst-case-EXACT, not a blanket dims cap: 768-dim
+    // NORMALIZED centroids (production embedding width, q = Grid = 1e7)
+    // cannot wrap — accepted
+    IvfNearestCell.of(v, Array(Array.fill(768)(10000000L)))
   }
 
   test("kernels compile at production geometry (512 cells); the forest cannot") {

@@ -197,14 +197,18 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
     val e3 = intercept[IllegalArgumentException](
       PqDistanceTable.of(v, Array(Array.empty[Array[Float]])))
     assert(e3.getMessage.contains("no codes"))
-    // overflow bound: the fused c2 - 2*dot accumulator wraps above
-    // dsub = 307 with saturated values — tighter than QuantizedDot's own
-    // 922 and enforced at construction, mirroring its loud-error rule
-    val wide = Array(Array(Array.fill(308)(0.5f)))
+    // overflow guard, EXACT per code: with saturated values (|x| >= 10
+    // clamps to QMax) the fused c2 - 2*dot accumulator wraps above
+    // dsub = 307 — rejected at construction with a named error
+    val wide = Array(Array(Array.fill(308)(100.0f)))
     val e4 = intercept[IllegalArgumentException](PqCodes.of(v, wide))
     assert(e4.getMessage.contains("overflow-safe"))
-    // 307 itself is inside the bound
-    PqCodes.of(v, Array(Array(Array.fill(307)(0.5f))))
+    // 307 saturated dims sit exactly inside the bound
+    PqCodes.of(v, Array(Array(Array.fill(307)(100.0f))))
+    // and the guard is worst-case-EXACT, not a blanket dims cap: a
+    // 768-dim NORMALIZED subspace (production embedding width) cannot
+    // wrap (|score| <= 768e14 + 2e8*768e7 ~ 1.6e18 << 2^63) — accepted
+    PqCodes.of(v, Array(Array(Array.fill(768)(0.5f))))
   }
 
   test("kernels compile under whole-stage codegen; the forest they replaced cannot") {
