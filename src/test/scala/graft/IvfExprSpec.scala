@@ -163,6 +163,34 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
     IvfNearestCell.of(v, Array(Array.fill(768)(10000000L)))
   }
 
+  test("kernels compile and match the forest at 768-dim production embedding width") {
+    // the exact overflow guard (r18) exists to ADMIT wide normalized
+    // geometries — so the admitted geometry must be verified working,
+    // not just constructible: 64 cells at 768 dims, kernel compiled
+    // under fallback=false vs the forest evaluated interpreted on a
+    // LocalRelation (the reference arithmetic, janino never involved)
+    val cents = Array.tabulate(64)(c =>
+      Array.tabulate(768)(i => (math.sin(c * 31 + i) / 2).toFloat))
+    val centsQ = cents.map(quant)
+    val data = (0L until 20L).map(i => (i, randVec(768)))
+    val vecs = data.toDF("vec_id", "embedding").localCheckpoint(true)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val kernel = try {
+      vecs.select(
+        col("vec_id"),
+        IvfNearestCell.of(col("embedding"), centsQ).as("cell"),
+        IvfTopCells.of(col("embedding"), centsQ, 4).as("cells"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val forest = data.toDF("vec_id", "embedding").select(
+      col("vec_id"),
+      array_min(forestCellsQ(col("embedding"), centsQ)).getField("cell").as("fcell"),
+      transform(slice(array_sort(forestCellsQ(col("embedding"), centsQ)), 1, 4),
+        s => s.getField("cell")).as("fcells"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(kernel == forest)
+  }
+
   test("kernels compile at production geometry (512 cells); the forest cannot") {
     val cents = Array.tabulate(512)(c =>
       Array.tabulate(16)(i => (math.sin(c * 7 + i) / 2).toFloat))

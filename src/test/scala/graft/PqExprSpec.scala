@@ -211,6 +211,32 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
     PqCodes.of(v, Array(Array(Array.fill(768)(0.5f))))
   }
 
+  test("kernels compile and match the forest at 768-dim production embedding width") {
+    // the exact overflow guard (r18) admits wide normalized geometries —
+    // verify the admitted geometry actually works: 48 subspaces × 16
+    // codes × 16 dims (a production PQ split of a 768-dim embedding),
+    // kernel compiled under fallback=false vs the forest interpreted on
+    // a LocalRelation
+    val cb = Array.tabulate(48, 16)((m, j) =>
+      Array.tabulate(16)(i => (math.sin(m * 131 + j * 17 + i) / 2).toFloat))
+    val data = (0L until 16L).map(i => (i, randVec(768)))
+    val vecs = data.toDF("vec_id", "embedding").localCheckpoint(true)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val kernel = try {
+      vecs.select(
+        col("vec_id"),
+        PqCodes.of(col("embedding"), cb).as("codes"),
+        PqDistanceTable.of(col("embedding"), cb).as("dtab"))
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Seq[Long]](2))).toMap
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val forest = data.toDF("vec_id", "embedding").select(
+      col("vec_id"),
+      forestCodes(col("embedding"), cb).as("fcodes"),
+      forestDtab(col("embedding"), cb).as("fdtab"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Seq[Long]](2))).toMap
+    assert(kernel == forest)
+  }
+
   test("kernels compile under whole-stage codegen; the forest they replaced cannot") {
     val cb = gateCb
     val vecs = (0L until 8L).map(i => (i, randVec(64)))
