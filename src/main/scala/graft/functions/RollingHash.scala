@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `rolling_hash(text)`: polynomial (Karp-Rabin) fingerprint
@@ -25,10 +26,25 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // string folds its UTF-8 bytes; binary folds the payload bytes
+  // directly (the multimodal lane's natural type — frame/image payloads
+  // are binary columns). Anything else is a named analysis error, not a
+  // janino failure + interpreted ClassCastException (r18: the codegen
+  // compile sweep caught exactly that opaque pair on an unchecked input).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires string or binary input, got ${other.catalogString}")
+  }
+
+  private def isBinary: Boolean = child.dataType == BinaryType
+
   val Mod = 1000000007L
 
   override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val bytes =
+      if (isBinary) v.asInstanceOf[Array[Byte]]
+      else v.asInstanceOf[UTF8String].getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) {
@@ -43,8 +59,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
       val bytes = ctx.freshName("bytes")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val get = if (isBinary) c else s"$c.getBytes()"
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |byte[] $bytes = $get;
          |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % ${Mod}L;
