@@ -87,16 +87,26 @@ object Bench {
     }
     val loadStart = loadAvg
     val results = names.map { name =>
-      val fn = queryFn(name)
+      // registry resolution failures (a benchQueries name with no
+      // queries entry) are recorded like any other query failure — the
+      // artifact must always be written; a lookup crash that kills the
+      // run before the file exists is exactly the telemetry loss this
+      // channel exists to prevent
+      val fn: Either[Throwable, (SparkSession, String) => DataFrame] =
+        try Right(queryFn(name))
+        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); Left(e) }
       val qLoad = loadAvg
       val secs = (1 to runs).map { _ =>
         // cold-plan guarantee (no CacheManager hit) + cross-query reset
         hygiene()
         val runLoad = loadAvg
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+        val ok = fn match {
+          case Left(_) => false
+          case Right(f) =>
+            try { f(spark, sfDir).count(); true }
+            catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+        }
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok, runLoad)
       }
       val ok = secs.forall(_._2)

@@ -84,6 +84,28 @@ class BenchSchemaSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(root.get("value").asDouble() - expectedTotal) < 1e-9)
   }
 
+  test("every benchQueries name is a registered query (the sweep can never crash on lookup)") {
+    val registered = SparkEntry.queries.keySet
+    val missing = SparkEntry.benchQueries.filterNot(registered.contains)
+    assert(missing.isEmpty, s"benchQueries names with no queries entry: $missing")
+    val dups = SparkEntry.benchQueries.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate benchQueries names (double-timed, double-counted): $dups")
+  }
+
+  test("an unregistered name records -1 and errors instead of killing the run") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_spec_missing").toString
+    // the registry itself throws on lookup — the artifact must still be
+    // written, with the healthy neighbor measured
+    val (_, failed) = QuietExpectedThrows {
+      Bench.runBench(spark, sf, Seq("q1_agg", "no_such_query"), runs = 1, out)
+    }
+    assert(failed == Seq("no_such_query"))
+    val (_, root) = parseFile(out)
+    assert(root.get("errors").asScala.map(_.asText()).toSeq == Seq("no_such_query"))
+    assert(root.get("queries").get("no_such_query").asDouble() == -1.0)
+    assert(root.get("queries").get("q1_agg").asDouble() > 0.0)
+  }
+
   test("a crashing query records -1, lands in errors, and never inflates the total") {
     val out = java.nio.file.Files.createTempDirectory("graft_bench_spec_fail").toString
     val good = SparkEntry.queries("q1_agg")
