@@ -229,14 +229,44 @@ object Triangles {
     */
   private[graft] val bloomMaxPartials: Int = 16
 
+  /** Deploy-time override for [[bloomMaxPartials]] (r18 advisory): the
+    * measured 16 is a SINGLE-NODE optimum — on local[32] the build fold
+    * is memory-bus-bound, so capping the scan at 16 tasks costs ~nothing
+    * (69.8 vs 75.7 s) while the merge gain is 2.1×. On a multi-node
+    * cluster each node has its own memory bus: the same cap would strand
+    * build parallelism the single-machine probe cannot see. The sketch
+    * is bit-identical at any partials count (the knob is pure cost
+    * tuning), so the bound is a conf, not a constant — multi-node
+    * deployments should raise it toward ~(16 × nodes) and re-measure the
+    * build/merge balance; the default stays the value measured at the
+    * regime-2 ceiling (`bench_records/r18_bloom_merge_probe.json`).
+    */
+  private[graft] def resolvedBloomMaxPartials(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val k = "spark.graft.bloom.maxPartials"
+    val v = spark.conf.getOption(k).map(_.trim)
+    v.map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$k must be a positive integer, got '$s'")
+      }
+      require(n >= 1, s"$k must be >= 1, got $n")
+      n
+    }.getOrElse(bloomMaxPartials)
+  }
+
   private[graft] def closureBloom(oriented: DataFrame, m: Long,
-      maxPartials: Int = bloomMaxPartials)
+      maxPartials: Int = -1)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
+    val bound =
+      if (maxPartials > 0) maxPartials
+      else resolvedBloomMaxPartials(oriented.sparkSession)
     val hashes = oriented.select(expr("xxhash64(src, dst)")).as[Long].rdd
     val bounded =
-      if (hashes.getNumPartitions > maxPartials)
-        hashes.coalesce(maxPartials)
+      if (hashes.getNumPartitions > bound)
+        hashes.coalesce(bound)
       else hashes
     bounded
       .mapPartitions { it =>

@@ -50,13 +50,20 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   // assumed: the input side is clamped at ±QMax per element by the
   // quantizer, and the centroid table is known here, so the true worst
   // case is per-cell |score| <= c2(c) + 2·QMax·Σ|q_ci| — checked against
-  // 2^63 for every cell. A blanket dims bound (307 = 2^63/(3·QMax²))
+  // 2^63 for every cell (scores are compared, never summed, so unlike
+  // [[PqExpression]] no cross-cell headroom is needed). A blanket dims
+  // bound (307 = 2^63/(3·QMax²))
   // would assume SATURATED values (|x| >= 10) in every position and
   // reject legitimate geometries like 768-dim normalized embeddings
   // where wrap is impossible; this guard fails loudly exactly when wrap
   // is actually reachable, mirroring QuantizedDot's
   // loud-error-over-silent-wrap rule with its derivation sharpened.
-  require({
+  // GuardOnce (r19): the scan is O(nCells·dims) — ~786k Math.*Exact ops
+  // at the 1024×768 production geometry — and Catalyst re-runs trait
+  // initializers on every expression copy during analysis/optimization;
+  // memoizing by table identity keeps loud-at-construction semantics at
+  // one scan per table instead of several per query plan.
+  GuardOnce(centsQ)(require({
     var ok = true
     var c = 0
     while (ok && c < nCells) {
@@ -81,7 +88,7 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   }, s"$prettyName: centroid table exceeds the overflow-safe bound — worst-case " +
     s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63 for every cell " +
     s"(reduce dims or centroid magnitudes; saturated values allow at most " +
-    s"${PqExpression.MaxSubDims} dims)")
+    s"${PqExpression.MaxSubDims} dims)"))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

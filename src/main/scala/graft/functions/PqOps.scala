@@ -49,47 +49,69 @@ private[graft] sealed trait PqExpression extends UnaryExpression {
   protected val dsub: Int = codebook(0)(0).length
   protected val dims: Int = nSub * dsub
 
-  require(codebook.forall(_.length == nCodes),
-    s"$prettyName: ragged codebook — every subspace must have $nCodes codes, " +
-      s"got ${codebook.map(_.length).toSeq}")
-  // overflow guard for the fused score accumulator, EXACT rather than
-  // assumed: the input side is clamped at ±QMax per element by the
-  // quantizer and the codebook is known here, so the true worst case is
-  // per-code |score| <= c2(m,j) + 2·QMax·Σ|q_code| — checked against
-  // 2^63 for every code. A blanket dsub bound (307 = 2^63/(3·QMax²))
-  // would assume SATURATED values in every position and reject
-  // legitimate wide subspaces where wrap is impossible; this fails
-  // loudly exactly when wrap is reachable, mirroring QuantizedDot's
-  // loud-error-over-silent-wrap rule with its derivation sharpened.
-  require({
-    var ok = true
-    var m = 0
-    while (ok && m < nSub) {
-      var j = 0
-      while (ok && j < nCodes) {
-        val code = codebook(m)(j)
-        var c2v = 0L; var sumAbs = 0L; var i = 0
-        while (i < code.length) {
-          val q = QuantizedDot.quantize(code(i).toDouble)
-          try {
-            c2v = Math.addExact(c2v, Math.multiplyExact(q, q))
-            sumAbs = Math.addExact(sumAbs, math.abs(q))
-          } catch { case _: ArithmeticException => ok = false }
-          i += 1
+  // the table-shape and overflow guards run ONCE per codebook identity
+  // (r19: Catalyst copies expressions freely during analysis — copy →
+  // trait re-init — and the exact overflow scan is O(nSub·nCodes·dsub);
+  // GuardOnce memoizes by the array reference the copies all share, so
+  // the loud-at-construction convention costs one scan per table, not
+  // one per plan transform)
+  GuardOnce(codebook) {
+    require(codebook.forall(_.length == nCodes),
+      s"$prettyName: ragged codebook — every subspace must have $nCodes codes, " +
+        s"got ${codebook.map(_.length).toSeq}")
+    // ragged dsub previously passed construction (the overflow loop
+    // iterated code.length) and died task-side in qcb — name it here,
+    // on the driver, like every other shape defect (r18 advisory)
+    require(codebook.forall(_.forall(_.length == dsub)),
+      s"$prettyName: ragged codebook — every code must have $dsub dims, " +
+        s"got lengths ${codebook.flatMap(_.map(_.length)).distinct.toSeq}")
+    // overflow guard for the fused score accumulator, EXACT rather than
+    // assumed: the input side is clamped at ±QMax per element by the
+    // quantizer and the codebook is known here, so the true worst case
+    // is per-code |score| <= c2(m,j) + 2·QMax·Σ|q_code| — checked
+    // against 2^63/nSub for every code: AnnPq's adcSum adds one score
+    // per subspace with plain Add, so the per-code bound must leave
+    // headroom for the nSub-term cross-subspace sum, not just the code's
+    // own accumulator (r18 advisory — the old 2^63 bound covered the
+    // kernel but not the downstream sum). A blanket dsub bound
+    // (307 = 2^63/(3·QMax²)) would assume SATURATED values in every
+    // position and reject legitimate wide subspaces where wrap is
+    // impossible; this fails loudly exactly when wrap is reachable,
+    // mirroring QuantizedDot's loud-error-over-silent-wrap rule with
+    // its derivation sharpened.
+    val bound = Long.MaxValue / nSub
+    require({
+      var ok = true
+      var m = 0
+      while (ok && m < nSub) {
+        var j = 0
+        while (ok && j < nCodes) {
+          val code = codebook(m)(j)
+          var c2v = 0L; var sumAbs = 0L; var i = 0
+          while (ok && i < code.length) {
+            val q = QuantizedDot.quantize(code(i).toDouble)
+            try {
+              c2v = Math.addExact(c2v, Math.multiplyExact(q, q))
+              sumAbs = Math.addExact(sumAbs, math.abs(q))
+            } catch { case _: ArithmeticException => ok = false }
+            i += 1
+          }
+          if (ok) {
+            try ok =
+              Math.addExact(c2v, Math.multiplyExact(2L * QuantizedDot.QMax, sumAbs)) <= bound
+            catch { case _: ArithmeticException => ok = false }
+          }
+          j += 1
         }
-        if (ok) {
-          try Math.addExact(c2v, Math.multiplyExact(2L * QuantizedDot.QMax, sumAbs))
-          catch { case _: ArithmeticException => ok = false }
-        }
-        j += 1
+        m += 1
       }
-      m += 1
-    }
-    ok
-  }, s"$prettyName: codebook exceeds the overflow-safe bound — worst-case " +
-    s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63 for every code " +
-    s"(reduce dsub or code magnitudes; saturated values allow at most " +
-    s"${PqExpression.MaxSubDims} dims per subspace)")
+      ok
+    }, s"$prettyName: codebook exceeds the overflow-safe bound — worst-case " +
+      s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63/nSub = $bound for " +
+      s"every code so the nSub-term ADC sum cannot wrap (reduce dsub or code " +
+      s"magnitudes; saturated values allow at most " +
+      s"${PqExpression.MaxSubDims / nSub} dims per subspace)")
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -324,7 +346,11 @@ private[graft] object PqExpression {
     * alone. The guards themselves are EXACT per cell/code (they bound
     * `c2 + 2·QMax·Σ|c|` against the actual table), so non-saturated wide
     * geometries — 768-dim normalized embeddings — stay accepted; this
-    * constant is the floor no table can be rejected under.
+    * constant is the floor no table can be rejected under. The PQ guard
+    * divides it by `nSub` (r19): AnnPq's adcSum adds one score per
+    * subspace, so per-code headroom must cover the cross-subspace sum.
+    * The IVF guard keeps the undivided bound — cell scores are compared,
+    * never summed.
     */
   val MaxSubDims: Long = Long.MaxValue / (3L * QuantizedDot.QMax * QuantizedDot.QMax)
 }

@@ -263,4 +263,55 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
       assert(thrown != null)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("r19 guards: ragged dsub is named at construction; per-code bound leaves ADC-sum headroom") {
+    val v = col("embedding")
+    // ragged dsub: code (1,1) is one dim short — previously passed
+    // construction (the overflow loop iterated code.length, masking it)
+    // and died task-side in the lazy qcb; now named on the driver like
+    // every other shape defect
+    val raggedDsub = Array(
+      Array(Array.fill(4)(0.5f), Array.fill(4)(0.25f)),
+      Array(Array.fill(4)(0.5f), Array.fill(3)(0.25f)))
+    val e1 = intercept[IllegalArgumentException](PqCodes.of(v, raggedDsub))
+    assert(e1.getMessage.contains("every code must have 4 dims"))
+    // ADC-sum headroom: a 200-dim saturated code is safe ALONE
+    // (worst |score| = 3·200·QMax² = 6e18 < 2^63) but AnnPq's adcSum
+    // adds one such score per subspace with plain Add — two subspaces
+    // sum to 1.2e19 > 2^63, a wrap the old per-code 2^63 bound admitted.
+    // The guard now bounds each code by 2^63/nSub.
+    val sat200 = Array(Array(Array.fill(200)(100.0f)))
+    PqCodes.of(v, sat200) // nSub=1: 6e18 <= 2^63, accepted as before
+    val sat200x2 = Array.fill(2)(Array(Array.fill(200)(100.0f)))
+    val e2 = intercept[IllegalArgumentException](PqCodes.of(v, sat200x2))
+    assert(e2.getMessage.contains("2^63/nSub"),
+      s"expected the nSub-divided bound in: ${e2.getMessage}")
+    // the production 8-subspace split keeps miles of headroom: a
+    // normalized 96-dim code's worst case (~7e15) vs 2^63/8 (~1.2e18)
+    PqCodes.of(v, Array.fill(8)(Array(Array.fill(96)(0.11f))))
+  }
+
+  test("expensive table guards run once per codebook identity across Catalyst copies (r19)") {
+    import graft.functions.GuardOnce
+    // fresh arrays = fresh identities, so parallel suites can't touch
+    // these counters
+    val cb = Array.tabulate(4, 8)((m, j) =>
+      Array.tabulate(8)(i => (math.sin(m * 31 + j * 7 + i) / 2).toFloat))
+    val vecs = (0L until 6L).map(i =>
+      (i, Array.tabulate(32)(d => (math.cos(i * 13.0 + d) / 2).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val out = vecs.select(
+      PqCodes.of(col("embedding"), cb).as("codes"),
+      PqDistanceTable.of(col("embedding"), cb).as("dtab"))
+      .where(col("codes")(0) >= 0)
+      .collect()
+    assert(out.length == 6)
+    // the saved cost is real: analysis/optimization re-entered the guard
+    // via expression copies (and the second kernel shares the table)...
+    assert(GuardOnce.callsFor(cb) > 2,
+      s"expected Catalyst copies to re-enter the guard, saw ${GuardOnce.callsFor(cb)}")
+    // ...but the O(nSub·nCodes·dsub) validation body ran exactly once
+    assert(GuardOnce.runsFor(cb) == 1,
+      s"validation ran ${GuardOnce.runsFor(cb)} times for one table identity")
+  }
 }
