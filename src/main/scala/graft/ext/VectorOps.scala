@@ -120,11 +120,13 @@ object VectorOps {
   }
 
   /** All pairs via a broadcast nested-loop scan over a driver-collected
-    * quantized matrix. TEST-ONLY rescore primitive: this is what an IVF
-    * cell rescore runs block-locally at scale (where "all vectors" is one
-    * cell's list, not the corpus) and what `ExtSpec` uses as the recall
-    * baseline — the shipped corpus-scale plan is [[blockedAllPairs]],
-    * which never collects. Identical doubles to [[cosine]]: same integer
+    * quantized matrix. TEST-ONLY exact-recall baseline: `AnnPropertySpec`
+    * pins [[blockedAllPairs]] pair-for-pair, bit-for-bit against this
+    * across block counts — the shipped corpus-scale plan is
+    * [[blockedAllPairs]], which never collects (this one collects the
+    * whole input; NEVER call it on a corpus). It is also the shape an
+    * IVF cell rescore runs block-locally at scale, where "all vectors"
+    * is one cell's list. Identical doubles to [[cosine]]: same integer
     * dot, same single sqrt/divide.
     */
   def bruteForcePairs(embeddings: org.apache.spark.sql.DataFrame,

@@ -101,6 +101,34 @@ class AnnPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("blockedAllPairs ≡ bruteForcePairs bit-exactly, invariant in the block count") {
+    import graft.ext.VectorOps
+    // bruteForcePairs is the documented driver-side exact-recall
+    // baseline (same integer dot, same single sqrt/divide); the shipped
+    // distributed plan must reproduce it pair-for-pair with bit-equal
+    // cosines, and the block count must be pure partitioning — any
+    // blocks value covers every unordered pair exactly once
+    for ((vs, i) <- samples(corpusGen, seed = 160301L, n = 3).zipWithIndex) {
+      // plant an exact duplicate so a cosine=1.0 pair always exists
+      val planted = vs :+ vs.head.clone()
+      val df = toDf(planted)
+      val threshold = 0.10
+      def pairSet(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Double)] =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = pairSet(VectorOps.bruteForcePairs(df, threshold).collect())
+      // the duplicate's cosine is s/(sqrt(s)*sqrt(s)) — within one ulp of
+      // 1.0, not necessarily equal (sqrt(s)² rounds)
+      assert(want.exists(_._3 > 0.9999999), s"sample $i: planted duplicate pair missing")
+      assert(want.forall { case (a, b, _) => a < b }, s"sample $i: oracle pair order")
+      for (blocks <- Seq(1, 3, 8)) {
+        val got = pairSet(VectorOps.blockedAllPairs(df, threshold, blocks).collect())
+        assert(got == want,
+          s"sample $i blocks=$blocks: blockedAllPairs diverged from the exact baseline\n" +
+            s"missing=${(want -- got).take(3)}\nextra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   test("sign-LSH results are sound: exact scores, dense ordered ranks, no self/zero-norm pairs") {
     val k = 5
     for ((vs, i) <- samples(corpusGen, seed = 160101L, n = 4).zipWithIndex) {
