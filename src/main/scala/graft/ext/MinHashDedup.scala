@@ -63,6 +63,18 @@ object MinHashDedup {
     * drop buckets above the cap before self-joining, exactly as
     * [[SimHash.pairs]] does for its block buckets (standard LSH practice;
     * the oracle applies the identical cap).
+    *
+    * Cap = 50 CONFIRMED by measurement under adversarial template-family
+    * skew (`bench_records/r19_bucketcap_probe.json`): recall loss under
+    * the cap is step-structured by family size — a duplicate inside a
+    * template family of g docs is found via the family-hot buckets iff
+    * ~0.8·g ≤ cap, else via cap-immune discriminative bands (~0.88+
+    * floor set by the 16×4 band geometry; cap=∞ reads exactly 1.0, at
+    * 69× the candidates and quadratic growth in g). 50→100 bought +2.8
+    * recall points for 3.8× the candidates at 212k docs. When a corpus's
+    * duplicate mass lives in LARGE template families, tune with
+    * [[candidateBucketHistogram]]: raise cap toward 0.8× the family
+    * sizes that matter, paying C(cap,2) per hot bucket.
     */
   def candidatePairs(documents: DataFrame, n: Int = 5, bucketCap: Int = 50): DataFrame =
     pairsFromBuckets(bandedSignatures(documents, n), col("band"), col("band_key"), bucketCap)

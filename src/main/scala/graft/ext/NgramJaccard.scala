@@ -115,6 +115,15 @@ object NgramJaccard {
     * [[graft.functions.MinHashSignature]]), bucket-collect pair gen
     * ([[MinHashDedup.pairsFromBuckets]] with the stop-bucket cap), then
     * the gram join + codegen merge-intersect on the surviving pairs only.
+    *
+    * The cap = 50 default carries the same measured basis as
+    * [[MinHashDedup.candidatePairs]] — this lane IS that banding
+    * (identical band geometry and bucket topology, sub-keyed by
+    * (lang, len_bucket)), so the template-family skew sweep in
+    * `bench_records/r19_bucketcap_probe.json` applies verbatim: recall
+    * under the cap degrades only for duplicates inside template families
+    * larger than ~cap/0.8, with a measured ~0.88+ floor from the
+    * cap-immune discriminative bands.
     */
   def pairsBanded(documents: DataFrame, n: Int = 5, threshold: Double = 0.3,
                   bucketWidth: Int = 50, bucketCap: Int = 50): DataFrame = {

@@ -224,6 +224,18 @@ object SimHash {
     * Narrower blocks (larger maxHamming) mean hotter buckets; the
     * stop-bucket cap below bounds the blow-up, at a documented recall
     * cost applied identically in the oracle.
+    *
+    * Cap sensitivity, MEASURED (`bench_records/r19_bucketcap_probe
+    * .json`): this lane is structurally more cap-sensitive than the
+    * MinHash bands — near-duplicates inside a template family have
+    * near-identical fingerprints, so block buckets are family-sized and
+    * there is no discriminative-band rescue path (recall of reachable
+    * twins at cap 50: 0.705 overall, 0.16 in 2048-doc families at 212k
+    * docs, vs MinHash's 0.88+; cap=∞ reads 1.0). The 16-bit block space
+    * also saturates as the corpus grows (average occupancy n/65536), so
+    * at 100-TB corpus sizes prefer the MinHash banded lane for
+    * family-heavy corpora, or pre-group by a cheap family key before
+    * pigeonholing; the cap stays 50 as the blow-up guard either way.
     */
   def pairs(documents: DataFrame, maxHamming: Int = 3, bucketCap: Int = 50): DataFrame = {
     val layout = blockLayout(maxHamming)
