@@ -214,4 +214,25 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
       assert(thrown != null)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("the exact centroid guard runs once per table identity across kernels and copies (r19)") {
+    import graft.functions.GuardOnce
+    // fresh array = fresh identity (parallel suites can't touch it); the
+    // SAME table feeds both IVF kernels — one validation must serve the
+    // assign expression, the probe expression, and every Catalyst copy
+    // either undergoes during analysis/optimization
+    val table = Array.tabulate(8)(c => Array.tabulate(32)(d => (c * 32 + d) * 500L))
+    val vecs = (0L until 5L).map(i =>
+      (i, Array.tabulate(32)(d => (math.sin(i * 17.0 + d) / 2).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val out = vecs.select(
+      IvfNearestCell.of(col("embedding"), table).as("cell"),
+      IvfTopCells.of(col("embedding"), table, 3).as("cells"))
+      .where(col("cell") >= 0).collect()
+    assert(out.length == 5)
+    assert(GuardOnce.callsFor(table) > 2,
+      s"expected copies/both kernels to re-enter the guard, saw ${GuardOnce.callsFor(table)}")
+    assert(GuardOnce.runsFor(table) == 1,
+      s"the O(nCells*dims) scan ran ${GuardOnce.runsFor(table)} times for one table identity")
+  }
 }
