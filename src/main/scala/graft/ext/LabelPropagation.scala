@@ -48,7 +48,7 @@ object LabelPropagation {
     // the argmax encodes "ties to smallest label" as max(-label), which
     // inverts ONLY on non-negative ids; a negative id would silently
     // diverge from the oracle's ORDER BY label ASC, so fail loudly
-    val minRow = nodes.agg(min(col("node"))).head
+    val minRow = nodes.agg(min(col("node"))).head()
     if (!minRow.isNullAt(0)) {
       val minNode = minRow.getAs[Number](0).longValue
       require(minNode >= 0L,

@@ -61,7 +61,7 @@ object SegmentationLloyd {
     val scaleRow = features
       .agg(max(abs(col(featCols.head))).as(featCols.head),
         featCols.tail.map(c => max(abs(col(c))).as(c)): _*)
-      .head
+      .head()
     val scales = featCols.indices.map { i =>
       if (scaleRow.isNullAt(i) || scaleRow.getDouble(i) == 0.0) 1.0
       else scaleRow.getDouble(i)

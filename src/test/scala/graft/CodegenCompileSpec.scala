@@ -27,7 +27,7 @@ class CodegenCompileSpec extends AnyFunSuite with SharedSpark {
       (i, s"the quick brown fox $i jumps über die faule Hund 一二三 " * 3))
       .toDF("doc_id", "text").localCheckpoint(true)
     val vecs = (0L until 8L).map(i =>
-      (i, Array.tabulate(64)(d => (math.sin(i * 31 + d) / 2).toFloat)))
+      (i, Array.tabulate(64)(d => (math.sin(i * 31.0 + d) / 2).toFloat)))
       .toDF("vec_id", "embedding").localCheckpoint(true)
     val pairs = (0L until 8L).map(i =>
       (Array.tabulate(6)(j => i * 7 + j * 3), Array.tabulate(6)(j => i * 5 + j * 4)))

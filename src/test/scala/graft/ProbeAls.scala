@@ -20,7 +20,7 @@ object ProbeAls {
       .setImplicitPrefs(true).setColdStartStrategy("drop").setSeed(42L)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
     val model = als.fit(train)
-    val maxTrain = train.groupBy("user").count().agg(max("count")).head.getLong(0).toInt
+    val maxTrain = train.groupBy("user").count().agg(max("count")).head().getLong(0).toInt
     println("MAXTRAIN=" + maxTrain)
     val k = 5 + maxTrain
     val recs = model.recommendForAllUsers(k)
@@ -37,7 +37,7 @@ object ProbeAls {
       .join(tc, Seq("user"), "left").na.fill(0, Seq("n_train"))
       .select(
         sum(col("n_test") * lit(5.0) / (lit(nItems) - col("n_train"))).as("num"),
-        sum(col("n_test")).as("den")).head
+        sum(col("n_test")).as("den")).head()
     println("UNSEEN_BASELINE=" + base.getDouble(0) / base.getLong(1))
     // train-reconstruction: precision@5 of RAW top-5 vs train pairs —
     // does the optimizer actually fit the interactions it saw?
@@ -46,7 +46,7 @@ object ProbeAls {
     val trainHits = raw5.join(train.select(col("user"), col("item")), Seq("user", "item"), "left_semi").count()
     val nRaw = raw5.count()
     println("TRAIN_PRECISION_AT_5=" + trainHits.toDouble / nRaw)
-    val avgTrainPerUser = train.groupBy("user").count().agg(avg(col("count"))).head.getDouble(0)
+    val avgTrainPerUser = train.groupBy("user").count().agg(avg(col("count"))).head().getDouble(0)
     println("TRAIN_PRECISION_RANDOM=" + avgTrainPerUser / nItems)
     s.stop()
   }

@@ -14,8 +14,8 @@ object ProbeAlsPref {
     val pr = graft.ml.Recommender
       .preferenceRatings(c.orders, c.lineitem, c.customer, c.part).cache()
     println("MATRIX rows=" + pr.count())
-    println("USERS=" + pr.select("user").distinct.count() +
-      " ITEMS=" + pr.select("item").distinct.count())
+    println("USERS=" + pr.select("user").distinct().count() +
+      " ITEMS=" + pr.select("item").distinct().count())
     val hr = graft.ml.Recommender.holdoutFilteredHitRateOf(pr, 5)
     val base = graft.ml.Recommender.randomHitRateBaselineOf(pr, 5)
     println(f"FILTERED_HITRATE=$hr%.4f BASELINE=$base%.4f LIFT=${hr / base}%.2f")

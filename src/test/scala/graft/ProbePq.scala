@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** One-off PQ recall probe (dev tool, not a test). */
 object ProbePq {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder.master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

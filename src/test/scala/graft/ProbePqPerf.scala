@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DoubleType
 /** One-off PQ stage-cost probe (dev tool, not a test). */
 object ProbePqPerf {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder.master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

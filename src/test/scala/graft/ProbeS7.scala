@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** One-off IVF-PQ recall probe (dev tool, not a test). */
 object ProbeS7 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder.master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

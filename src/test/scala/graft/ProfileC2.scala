@@ -25,7 +25,7 @@ object ProfileC2 {
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
     println("docs=" + docs.count() + " avg_len=" +
-      docs.agg(avg(length(col("text")))).head.getDouble(0))
+      docs.agg(avg(length(col("text")))).head().getDouble(0))
     val keep = TextStats.qualityScoreCol(col("text")) >= 0.8 &&
       TextStats.predictedLangCol(col("text")) === "en"
     time("plain count")(docs.count())

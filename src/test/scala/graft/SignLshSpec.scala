@@ -20,7 +20,7 @@ class SignLshSpec extends AnyFunSuite with SharedSpark {
   test("codegen and interpreted paths agree; codes deterministic under repartition") {
     val dims = 8
     val vecs = (0L until 50L).map(i =>
-      (i, Array.tabulate(dims)(d => math.sin(i * 31 + d).toFloat))).toDF("vec_id", "embedding")
+      (i, Array.tabulate(dims)(d => math.sin(i * 31.0 + d).toFloat))).toDF("vec_id", "embedding")
     val expr = SignLshCodes.of(col("embedding"), 4, 6, dims)
     val once = vecs.select(col("vec_id"), expr.as("codes")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -48,7 +48,7 @@ class SignLshSpec extends AnyFunSuite with SharedSpark {
     // under fallback=false, with interpreted parity at the same geometry.
     val bands = 32; val bits = 20; val dims = 768
     val data = (0L until 12L).map(i =>
-      (i, Array.tabulate(dims)(d => (math.sin(i * 31 + d) / 2).toFloat)))
+      (i, Array.tabulate(dims)(d => (math.sin(i * 31.0 + d) / 2).toFloat)))
     val vecs = data.toDF("vec_id", "embedding").localCheckpoint(true)
     spark.conf.set("spark.sql.codegen.fallback", "false")
     val compiled = try {

@@ -98,7 +98,7 @@ class StreamingPropertySpec extends AnyFunSuite with SharedSpark
       val streamed = EventStream.runStatefulSessionsToCompletion(spark, dir, 30,
           queryName = s"graft_prop_sessions_$i")
         .selectExpr("user_id", "session_start", "session_end", "n_events")
-      val wmMs = df.selectExpr("max(unix_micros(ts)) DIV 1000").head.getLong(0)
+      val wmMs = df.selectExpr("max(unix_micros(ts)) DIV 1000").head().getLong(0)
       val batchAll = Events.sessionize(df, 30)
       val batchClosed = batchAll
         .filter(expr(s"unix_micros(session_end) DIV 1000 + ${30 * 60000L} < $wmMs"))

@@ -54,7 +54,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // append emits exactly the windows whose end the final watermark
     // (max ts, ms floor, minus the 2h delay) passed; the tail stays open
     val events = Catalog(spark, sf).events
-    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head.getLong(0) - 7200000L
+    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head().getLong(0) - 7200000L
     val batch = Events.hourly(events)
       .filter(org.apache.spark.sql.functions.expr(
         s"unix_micros(hour + interval 1 hour) DIV 1000 <= $wmMs"))
@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // (max event time, ms floor, delay 0) passed — later sessions stay
     // open in state and must NOT be emitted
     val events = Catalog(spark, sf).events
-    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head.getLong(0)
+    val wmMs = events.selectExpr("max(unix_micros(ts)) DIV 1000").head().getLong(0)
     val batch = Events.sessionize(events, 30)
       .filter(org.apache.spark.sql.functions.expr(
         s"unix_micros(session_end) DIV 1000 + ${30 * 60000L} < $wmMs"))

@@ -66,7 +66,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
       // epoch micros (NTZ timestamps surface as LocalDateTime in rows)
       val r = spark.read.parquet(f)
         .selectExpr("min(unix_micros(to_utc_timestamp(o_orderdate, 'UTC')))",
-          "max(unix_micros(to_utc_timestamp(o_orderdate, 'UTC')))").head
+          "max(unix_micros(to_utc_timestamp(o_orderdate, 'UTC')))").head()
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
     ranges.sliding(2).foreach { case Array((_, prevMax), (nextMin, _)) =>
@@ -107,7 +107,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     // a trainer consuming part files in name order replays the exact
     // seeded global shuffle order with no cross-file interleaving
     val ranges = files.map { f =>
-      val r = spark.read.parquet(f).selectExpr("min(order_key)", "max(order_key)").head
+      val r = spark.read.parquet(f).selectExpr("min(order_key)", "max(order_key)").head()
       (r.getString(0), r.getString(1))
     }
     ranges.sliding(2).foreach { case Array((_, prevMax), (nextMin, _)) =>
@@ -132,7 +132,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(files.length >= 8, s"expected many z files, got ${files.length}")
     val areas = files.map { f =>
       val r = spark.read.parquet(f)
-        .selectExpr("min(a)", "max(a)", "min(b)", "max(b)").head
+        .selectExpr("min(a)", "max(a)", "min(b)", "max(b)").head()
       (r.getInt(1) - r.getInt(0) + 1).toLong * (r.getInt(3) - r.getInt(2) + 1)
     }
     // a single-column sort on `a` would leave every file's b-range at the
