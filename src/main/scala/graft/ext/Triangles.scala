@@ -260,6 +260,13 @@ object Triangles {
       maxPartials: Int = -1)
       : org.apache.spark.util.sketch.BloomFilter = {
     import oriented.sparkSession.implicits._
+    // -1 is the only resolve-from-conf sentinel; an accidental 0/negative
+    // argument must be a named error, not a silent conf fallback —
+    // mirroring resolvedBloomMaxPartials' rejection of non-positive conf
+    // values (r19 advisory)
+    require(maxPartials == -1 || maxPartials >= 1,
+      s"closureBloom: maxPartials must be >= 1 (or -1 to resolve from " +
+        s"spark.graft.bloom.maxPartials), got $maxPartials")
     val bound =
       if (maxPartials > 0) maxPartials
       else resolvedBloomMaxPartials(oriented.sparkSession)

@@ -24,6 +24,18 @@ package graft.functions
   * the two halves of the claim: Catalyst really does re-enter the guard
   * (`callsFor` > 1 across one analyzed query — the cost being saved is
   * real) while the validation body runs once (`runsFor` == 1).
+  *
+  * IMMUTABILITY CONTRACT (r19 advisory): memoization assumes the table
+  * is immutable after its first validation. A caller that mutates a
+  * centroid/codebook array IN PLACE after one expression was built gets
+  * later constructions with the shape/overflow guards silently skipped —
+  * and, worse, executors that already captured the old values. Every
+  * in-repo caller ([[IvfExpression]], [[PqExpression]]) builds its table
+  * fresh on the driver and never writes to it again; external callers
+  * must treat the array passed to `IvfNearestCell.of` / `PqCodes.of` etc.
+  * as frozen, or pass a defensive copy. (Copying here instead would
+  * defeat the point — the copy is O(table), the exact cost being
+  * memoized away.)
   */
 private[graft] object GuardOnce {
   // guarded by `lock`: WeakHashMap is not thread-safe and the analyzer

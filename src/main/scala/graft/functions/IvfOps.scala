@@ -63,7 +63,15 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   // initializers on every expression copy during analysis/optimization;
   // memoizing by table identity keeps loud-at-construction semantics at
   // one scan per table instead of several per query plan.
-  GuardOnce(centsQ)(require({
+  GuardOnce(centsQ) {
+    // ragged centroids previously escaped this scan as a bare
+    // ArrayIndexOutOfBounds (the loop reads centsQ(c)(i) for i < dims but
+    // catches only ArithmeticException) — name the shape defect here, on
+    // the driver, mirroring the PQ ragged-dsub fix (r19 advisory)
+    require(centsQ.forall(_.length == dims),
+      s"$prettyName: ragged centroid table — every centroid must have $dims dims, " +
+        s"got lengths ${centsQ.map(_.length).distinct.toSeq}")
+    require({
     var ok = true
     var c = 0
     while (ok && c < nCells) {
@@ -88,7 +96,8 @@ private[graft] sealed trait IvfExpression extends UnaryExpression {
   }, s"$prettyName: centroid table exceeds the overflow-safe bound — worst-case " +
     s"|score| = c2 + 2*QMax*sum|c| must stay below 2^63 for every cell " +
     s"(reduce dims or centroid magnitudes; saturated values allow at most " +
-    s"${PqExpression.MaxSubDims} dims)"))
+    s"${PqExpression.MaxSubDims} dims)")
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

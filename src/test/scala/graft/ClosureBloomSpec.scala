@@ -90,5 +90,15 @@ class ClosureBloomSpec extends AnyFunSuite with SharedSpark {
     }
     assert(java.util.Arrays.equals(bytesAt(2), bytesAt(7)),
       "sketch bits differ across partials counts — the bound is no longer cost-only")
+    // explicit non-positive maxPartials is a named error, NOT a silent
+    // fallback to the conf: -1 is the only resolve-from-conf sentinel,
+    // so an accidental 0/negative argument must fail as loudly as a
+    // non-positive conf value does (r19 advisory)
+    for (bad <- Seq(0, -4)) {
+      val e = intercept[IllegalArgumentException](
+        Triangles.closureBloom(inserted, n, maxPartials = bad))
+      assert(e.getMessage.contains("maxPartials"),
+        s"error for explicit $bad must name the argument")
+    }
   }
 }

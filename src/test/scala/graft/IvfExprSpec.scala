@@ -161,6 +161,19 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
     // NORMALIZED centroids (production embedding width, q = Grid = 1e7)
     // cannot wrap — accepted
     IvfNearestCell.of(v, Array(Array.fill(768)(10000000L)))
+    // ragged centroid (r19 advisory): centroid 1 one dim SHORT previously
+    // escaped the overflow scan as a bare ArrayIndexOutOfBounds (the loop
+    // reads centsQ(c)(i) for i < dims but catches only
+    // ArithmeticException) — now a named error, like the PQ ragged-dsub
+    // case
+    val e3 = intercept[IllegalArgumentException](
+      IvfNearestCell.of(v, Array(Array.fill(32)(500L), Array.fill(31)(500L))))
+    assert(e3.getMessage.contains("ragged centroid table"))
+    // ragged LONG must be named too (it would read past dims silently if
+    // only the short case were guarded)
+    val e4 = intercept[IllegalArgumentException](
+      IvfTopCells.of(v, Array(Array.fill(32)(500L), Array.fill(33)(500L)), 1))
+    assert(e4.getMessage.contains("ragged centroid table"))
   }
 
   test("kernels compile and match the forest at 768-dim production embedding width") {
@@ -230,7 +243,12 @@ class IvfExprSpec extends AnyFunSuite with SharedSpark {
       IvfTopCells.of(col("embedding"), table, 3).as("cells"))
       .where(col("cell") >= 0).collect()
     assert(out.length == 5)
-    assert(GuardOnce.callsFor(table) > 2,
+    // callsFor > runsFor, not an absolute copy count: the hard claim is
+    // "re-entered more often than it ran" (both kernels construct once
+    // each, so >= 2 calls); pinning how MANY times Catalyst copies the
+    // expression would fail on an optimizer that copies less with no
+    // real regression (r19 advisory)
+    assert(GuardOnce.callsFor(table) > GuardOnce.runsFor(table),
       s"expected copies/both kernels to re-enter the guard, saw ${GuardOnce.callsFor(table)}")
     assert(GuardOnce.runsFor(table) == 1,
       s"the O(nCells*dims) scan ran ${GuardOnce.runsFor(table)} times for one table identity")

@@ -307,8 +307,11 @@ class PqExprSpec extends AnyFunSuite with SharedSpark {
       .collect()
     assert(out.length == 6)
     // the saved cost is real: analysis/optimization re-entered the guard
-    // via expression copies (and the second kernel shares the table)...
-    assert(GuardOnce.callsFor(cb) > 2,
+    // via expression copies (and the second kernel shares the table).
+    // callsFor > runsFor, not an absolute count — an optimizer that
+    // copies less must not fail this with no real regression (r19
+    // advisory); both kernels construct once each, so this is >= 2
+    assert(GuardOnce.callsFor(cb) > GuardOnce.runsFor(cb),
       s"expected Catalyst copies to re-enter the guard, saw ${GuardOnce.callsFor(cb)}")
     // ...but the O(nSub·nCodes·dsub) validation body ran exactly once
     assert(GuardOnce.runsFor(cb) == 1,
