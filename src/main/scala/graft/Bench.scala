@@ -57,6 +57,55 @@ object Bench {
     math.round(v * 100.0) / 100.0
   }
 
+  /** Deterministic, data-independent single-thread CPU calibration fold
+    * (r19 verdict item 4): machine generations drifted 25/27/38% across
+    * r17–r19 and every cross-round read needed a worktree A/B/A rebuild
+    * of the old HEAD. This fold is PINNED WORK — a fixed-seed xorshift
+    * mixed 2·10⁸ times, independent of sf, data, and code under test —
+    * so the ratio of two sweeps' `calib_cpu_sec` numerically measures
+    * the ambient generation gap without re-building anything. Returns
+    * seconds for one execution; callers take min-of-N so the first
+    * run's JIT compile drops out.
+    */
+  private[graft] def calibCpu(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // sink the accumulator so the loop cannot be dead-code-eliminated
+    if (acc == 42L) System.err.println("calib sink")
+    dt
+  }
+
+  /** Pinned parquet-scan calibration (the Spark half of the r19 verdict
+    * item 4 pair): one 10M-row, 32-partition parquet written fresh under
+    * `outDir` per sweep, then a scan+hash+sum timed. Fixed size and
+    * schema regardless of sf, so the number calibrates the machine's
+    * task-scheduling + parquet-decode + codegen pipeline, not the
+    * workload. Returns the timed-scan seconds for one execution.
+    */
+  private[graft] def calibScanWrite(spark: SparkSession, outDir: String): String = {
+    val dir = Paths.get(outDir, "calib_parquet").toString
+    spark.range(0L, 10000000L, 1L, 32)
+      .selectExpr("id", "xxhash64(id) AS h")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private[graft] def calibScan(spark: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: summing 10M xxhash64 longs overflows under ANSI
+    // semantics; XOR reads every value of both columns and cannot wrap
+    spark.read.parquet(dir).selectExpr("bit_xor(h ^ id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Measurement + render core, split out of `main` so BenchSchemaSpec
     * can pin the artifact's schema against a live session without the
     * session-creating / process-exiting shell around it (verdict r17
@@ -64,9 +113,23 @@ object Bench {
     * an executable pin, not just prose).
     *
     * Returns (the JSON line as written to `outDir/bench.json`, the names
-    * of failed queries). `queryFn` defaults to the real registry;
-    * injectable so the spec can pin the failure contract (-1 marker +
-    * errors entry) without registering a deliberately crashing query.
+    * of failed queries, the digest lines — see below). `queryFn` defaults
+    * to the real registry; injectable so the spec can pin the failure
+    * contract (-1 marker + errors entry) without registering a
+    * deliberately crashing query. `calibRuns` sizes the min-of-N
+    * calibration pair (3 for real sweeps; the spec uses 1 for speed).
+    *
+    * DIGEST CONTRACT (r19 verdict item 1): the driver archives a ~2000
+    * char stdout SUFFIX as BENCH_rN, and for three consecutive rounds
+    * that tail cut the front of the single JSON line off — every
+    * BENCH_r17–r19 shipped `"parsed": null` while the complete artifact
+    * sat in `bench.json`. The returned digest lines are compact one-line
+    * JSON records (≈1 KB total, BenchSchemaSpec-pinned under 2000 chars)
+    * that `main` prints LAST, after the full line, so ANY suffix of
+    * stdout that holds them parses into totals + per-family sums +
+    * top-15 query mins + the calibration pair with no bench_records
+    * access. Order: calib, families, top15, totals — totals LAST, so
+    * even a 200-char tail still carries the headline number.
     */
   def runBench(
       spark: SparkSession,
@@ -75,7 +138,8 @@ object Bench {
       runs: Int,
       outDir: String,
       queryFn: String => (SparkSession, String) => DataFrame = SparkEntry.queries,
-  ): (String, Seq[String]) = {
+      calibRuns: Int = 3,
+  ): (String, Seq[String], Seq[String]) = {
     // restore the JVM to a common baseline before every timed run — see
     // the class doc ("Cross-query isolation"); runs outside the window
     def hygiene(): Unit = {
@@ -86,6 +150,12 @@ object Bench {
       System.gc()
     }
     val loadStart = loadAvg
+    // the calibration pair runs FIRST (before any workload query warms
+    // caches it could alias) — min-of-calibRuns so JIT compile and the
+    // one-time parquet write drop out of the recorded numbers
+    val calibDir = calibScanWrite(spark, outDir)
+    val cScan = (1 to calibRuns).map { _ => hygiene(); calibScan(spark, calibDir) }.min
+    val cCpu = (1 to calibRuns).map(_ => calibCpu()).min
     val results = names.map { name =>
       // registry resolution failures (a benchQueries name with no
       // queries entry) are recorded like any other query failure — the
@@ -148,11 +218,37 @@ object Bench {
     // timings instead of the telemetry arrays (r13 verdict item 1: the
     // tail showed run_loads' loadavg values where r12's showed times,
     // reading as a phantom 10x regression)
+    val loadEnd = loadAvg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadAvg,"load":$loads,"runs":$runsDetail,"run_loads":$runLoads,"total_sec":$total,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"calib_cpu_sec":${fmt(cCpu)},"calib_scan_sec":${fmt(cScan)},"load":$loads,"runs":$runsDetail,"run_loads":$runLoads,"total_sec":$total,"queries":$qs}"""
+    // ---- digest lines (see the DIGEST CONTRACT in the method doc) ----
+    // family = the query-name prefix before the first digit/underscore
+    // (q1_agg→q, ml_churn_twin→ml, e8→e, mm1→mm, d5b→d, g2_triangles→g)
+    def family(n: String): String =
+      n.takeWhile(_.isLetter) match { case "" => "other"; case f => f }
+    val ok = results.filter(_._3)
+    val famJson = ok.groupBy(r => family(r._1))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (f, s) => "\"" + f + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val topJson = ok.sortBy(-_._2).take(15)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val nErr = results.count(!_._3)
+    val digest = Seq(
+      s"""{"digest":"calib","cpu_sec":${fmt(cCpu)},"scan_sec":${fmt(cScan)},"runs":$calibRuns}""",
+      s"""{"digest":"families","unit":"sec","sums":$famJson}""",
+      s"""{"digest":"top15","unit":"sec","mins":$topJson}""",
+      s"""{"digest":"totals","total_sec":${fmt(total)},"n_queries":${results.size},"n_errors":$nErr,"errors":$errors,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd,"calib_cpu_sec":${fmt(cCpu)},"calib_scan_sec":${fmt(cScan)}}""",
+    )
     Files.createDirectories(Paths.get(outDir))
     Files.write(Paths.get(outDir, "bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    (line, results.collect { case (k, _, false, _, _) => k })
+    // the digest is durable too (drift analysis reads it without
+    // re-deriving families from the full map)
+    Files.write(Paths.get(outDir, "bench_digest.json"),
+      (digest.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    (line, results.collect { case (k, _, false, _, _) => k }, digest)
   }
 
   def main(args: Array[String]): Unit = {
@@ -173,8 +269,11 @@ object Bench {
     // measured query doesn't pay session bring-up
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
-    val (line, failed) = runBench(spark, sfDir, names, runs, outDir)
+    val (line, failed, digest) = runBench(spark, sfDir, names, runs, outDir)
     System.out.println(line)
+    // the digest ends stdout so a suffix-truncating capture still parses
+    // (see runBench's DIGEST CONTRACT doc) — totals line very last
+    digest.foreach(System.out.println)
     spark.stop()
     // a failed query must fail the bench run visibly, not just in JSON
     if (failed.nonEmpty) sys.exit(1)
