@@ -38,12 +38,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
+  // null-element contract (r19 verdict item 3): `getLong` on a null
+  // element is the landmine class the kernel audits exist for —
+  // UnsafeArrayData returns whatever bytes sit in the slot (a SILENTLY
+  // WRONG count), GenericArrayData throws a bare NPE, and the two
+  // execution paths diverge. Statically conditional: every in-repo gram
+  // producer declares containsNull=false, so the hot verify-join loop
+  // stays branch-free; only a nullable user array pays the per-read
+  // check, and a null it reads is a named error on both paths.
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  @transient private lazy val checkNulls: Boolean =
+    mayHaveNullElems(left) || mayHaveNullElems(right)
+
+  private def nullElem(): Nothing =
+    throw new IllegalArgumentException(
+      "sorted_intersect_count: null element in input array " +
+        "(array_compact before sorting)")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) nullElem()
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -57,11 +78,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      // same static condition as eval: the named check is only EMITTED
+      // when the input type admits null elements
+      val guard = if (checkNulls)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($j)) {
+           |  throw new IllegalArgumentException(
+           |    "sorted_intersect_count: null element in input array (array_compact before sorting)");
+           |}""".stripMargin
+      else ""
       s"""
          |int $i = 0, $j = 0;
          |final int $nx = $a.numElements(), $ny = $b.numElements();
          |int ${ev.value}Tmp = 0;
          |while ($i < $nx && $j < $ny) {
+         |  $guard
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
          |  if ($xv == $yv) { ${ev.value}Tmp++; $i++; $j++; }
