@@ -104,6 +104,22 @@ class TransformSpec extends AnyFunSuite with SharedSpark {
     assert(got == Set((1L, 100L, 9L), (1L, 50L, 3L), (2L, 10L, -1L)))
   }
 
+  test("Dedup.distinctRows is full-row distinct; dropDuplicateKeys keeps one row per key [P13]") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    assert(Dedup.distinctRows(df).collect().toSet.size == 3)
+    val byKey = Dedup.dropDuplicateKeys(df, Seq("k")).collect()
+    assert(byKey.map(_.getInt(0)).toSet == Set(1, 2) && byKey.length == 2)
+  }
+
+  test("Cleaning.fillCategorical imputes the sentinel only in the named columns [P12]") {
+    val df = Seq((1, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (2, "kept", "kept")).toDF("k", "a", "b")
+    val out = Cleaning.fillCategorical(df, Seq("a")).orderBy("k").collect()
+    assert(out(0).getString(1) == "UNKNOWN", "named null column must be imputed")
+    assert(out(0).isNullAt(2), "unnamed column must keep its null")
+    assert(out(1).getString(1) == "kept")
+  }
+
   test("Dedup.dedupByKeys keeps the first row under explicit ordering") {
     val df = Seq((1, "b", 2), (1, "a", 1), (2, "c", 9)).toDF("k", "v", "ord")
     val out = Dedup.dedupByKeys(df, Seq("k"), Seq("ord")).collect()

@@ -37,6 +37,16 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() == 25)
   }
 
+  test("CsvIo.writeSingleFile emits exactly one part-file that round-trips [S6]") {
+    val dir = tmp() + "/single_csv"
+    CsvIo.writeSingleFile(Catalog(spark, sf).nation, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.length == 1,
+      s"coalesce(1) report sink must write ONE part-file, got ${parts.length}")
+    assert(CsvIo.readInferred(spark, dir).count() == 25)
+  }
+
   test("dynamic partition overwrite rewrites only the written slice") {
     import spark.implicits._
     val dir = tmp()
