@@ -214,6 +214,48 @@ object SimHash {
       when(substring(col("simhash"), offset + b + 1, 1) === "1", lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Saturation guard bound, MEASURED (r19 verdict item 2;
+    * `bench_records/r20_simhash_saturation.json`, probe at
+    * `src/test/scala/graft/ProbeSimHashSaturation.scala`): the pigeonhole
+    * lane collapses when the mean block-bucket occupancy λ = n / 2^width
+    * approaches the stop-bucket cap, because EVERY route of a
+    * near-duplicate pair runs through family-shared blocks and the lane
+    * has no discriminative-band rescue path. On the most favorable
+    * corpus shape (flat, uniform fingerprints — real corpora saturate
+    * EARLIER: measured occupancy is already overdispersed, max 150 at
+    * mean 32), recall of reachable twins at the default 4×16-bit layout:
+    * λ/cap 0.32 → 0.999, 0.64 → 0.950 (with wall time PEAKED there at
+    * ~9× the 0.32 cost — the lane gets slow exactly where it starts
+    * losing recall), 0.96 → 0.686, 1.28 → 0.354 — and the ratio
+    * governs, not n alone (cap 25 at n=2²¹ reads 0.355 vs cap 50 at
+    * n=2²² reading 0.354, identical to 3 decimals). The default bound
+    * 0.5 sits between the last ≥0.99 point and measurable degradation.
+    * Override via
+    * `spark.graft.simhash.maxOccupancyPerCap` after re-measuring; past
+    * the ceiling prefer the MinHash banded lane (recall floor ~0.88
+    * under the same adversarial shapes, r19 probe) or pre-group by a
+    * family key.
+    */
+  private[graft] val defaultMaxOccupancyPerCap: Double = 0.5
+
+  /** Deploy-time override for [[defaultMaxOccupancyPerCap]]; junk or
+    * non-positive values are named errors carrying the key (the
+    * [[graft.ext.Triangles.resolvedBloomMaxPartials]] conf convention).
+    */
+  private[graft] def resolvedMaxOccupancyPerCap(
+      spark: org.apache.spark.sql.SparkSession): Double = {
+    val k = "spark.graft.simhash.maxOccupancyPerCap"
+    spark.conf.getOption(k).map(_.trim).map { s =>
+      val v = try s.toDouble catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$k must be a positive number, got '$s'")
+      }
+      require(!v.isNaN && v > 0, s"$k must be > 0, got $s")
+      v
+    }.getOrElse(defaultMaxOccupancyPerCap)
+  }
+
   /** Near-duplicate candidates via (maxHamming+1)-block pigeonholing +
     * exact Hamming verify (<= maxHamming); layout from [[blockLayout]].
     *
@@ -231,11 +273,17 @@ object SimHash {
     * near-identical fingerprints, so block buckets are family-sized and
     * there is no discriminative-band rescue path (recall of reachable
     * twins at cap 50: 0.705 overall, 0.16 in 2048-doc families at 212k
-    * docs, vs MinHash's 0.88+; cap=∞ reads 1.0). The 16-bit block space
-    * also saturates as the corpus grows (average occupancy n/65536), so
-    * at 100-TB corpus sizes prefer the MinHash banded lane for
-    * family-heavy corpora, or pre-group by a cheap family key before
-    * pigeonholing; the cap stays 50 as the blow-up guard either way.
+    * docs, vs MinHash's 0.88+; cap=∞ reads 1.0). The block space also
+    * SATURATES with corpus size alone (r20 probe,
+    * `bench_records/r20_simhash_saturation.json`): at the default
+    * 4×16-bit layout the ceiling is λ = n/65536 ≈ 0.5·cap — about
+    * 1.6M docs at cap 50 — past which even a flat, family-free corpus
+    * loses recall to background block collisions (0.95 at 2²¹ docs,
+    * 0.355 at 2²²). pairs() now FAILS LOUDLY past the measured bound
+    * (see [[defaultMaxOccupancyPerCap]]); for corpora past the ceiling
+    * use the MinHash banded lane (its 64-bit band space does not
+    * saturate at terrestrial corpus sizes) or pre-group by a cheap
+    * family key before pigeonholing.
     */
   def pairs(documents: DataFrame, maxHamming: Int = 3, bucketCap: Int = 50): DataFrame = {
     val layout = blockLayout(maxHamming)
@@ -245,27 +293,47 @@ object SimHash {
         case ((off, w), i) => blockInt(off, w).as(s"blk_$i")
       }: _*)
       .cache()
-    val blocked = fpInts.select(
-      col("doc_id"), posexplode(array((0 until nBlocks).map(i => col(s"blk_$i")): _*))
-        .as(Seq("block", "block_val")))
-    // stop-bucket cap: a block value shared by thousands of docs (heavy
-    // shared vocabulary) contributes k^2 candidate pairs and almost no
-    // dedup signal — drop buckets above the cap (standard LSH practice;
-    // the oracle applies the identical cap). Pair generation is the
-    // single-shuffle bucket-collect ([[MinHashDedup.pairsFromBuckets]]).
-    val cand = MinHashDedup.pairsFromBuckets(blocked, col("block"), col("block_val"), bucketCap)
-    val withInts = cand
-      .join(fpInts.toDF("doc_a" +: (0 until nBlocks).map(i => s"a_$i"): _*), "doc_a")
-      .join(fpInts.toDF("doc_b" +: (0 until nBlocks).map(i => s"b_$i"): _*), "doc_b")
-    val hamming = (0 until nBlocks)
-      .map(i => bit_count(col(s"a_$i").bitwiseXOR(col(s"b_$i"))))
-      .reduce(_ + _)
-    val result = withInts.withColumn("hamming", hamming)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-    // materialize the (small) pair set, release the corpus-wide
-    // fingerprint cache — in a finally, so a failed materialization
+    // the whole build releases the corpus-wide fingerprint cache in one
+    // finally — a failed materialization (or a saturation rejection)
     // cannot leak it (the CorpusPipeline lifecycle; CacheHygieneSpec)
-    try result.localCheckpoint(true) finally fpInts.unpersist()
+    try {
+      // saturation guard (r20, measured — see [[defaultMaxOccupancyPerCap]]):
+      // mean bucket occupancy λ = n / 2^minWidth must stay under the
+      // bound × cap, else the cap silently drops the only routes
+      // near-duplicate pairs have. The count materializes the cache the
+      // self-join below reuses, so the extra job is ~free.
+      val nDocs = fpInts.count()
+      val minWidth = layout.map(_._2).min
+      val lambda = nDocs.toDouble / (1L << minWidth)
+      val bound = resolvedMaxOccupancyPerCap(documents.sparkSession)
+      require(bucketCap == Int.MaxValue || lambda <= bound * bucketCap,
+        f"simhash pairs: block space saturated — $nDocs docs over ${layout.size} " +
+          f"blocks of $minWidth bits gives mean bucket occupancy $lambda%.1f > " +
+          f"$bound x bucketCap=$bucketCap (measured collapse past this bound: " +
+          f"recall 0.95 at ratio 0.64, 0.686 at 0.96, 0.354 at 1.28 — " +
+          f"bench_records/r20_simhash_saturation.json). Use the MinHash banded " +
+          f"lane for corpora this size, pre-group by a family key, raise " +
+          f"bucketCap, or override spark.graft.simhash.maxOccupancyPerCap " +
+          f"after re-measuring")
+      val blocked = fpInts.select(
+        col("doc_id"), posexplode(array((0 until nBlocks).map(i => col(s"blk_$i")): _*))
+          .as(Seq("block", "block_val")))
+      // stop-bucket cap: a block value shared by thousands of docs (heavy
+      // shared vocabulary) contributes k^2 candidate pairs and almost no
+      // dedup signal — drop buckets above the cap (standard LSH practice;
+      // the oracle applies the identical cap). Pair generation is the
+      // single-shuffle bucket-collect ([[MinHashDedup.pairsFromBuckets]]).
+      val cand = MinHashDedup.pairsFromBuckets(blocked, col("block"), col("block_val"), bucketCap)
+      val withInts = cand
+        .join(fpInts.toDF("doc_a" +: (0 until nBlocks).map(i => s"a_$i"): _*), "doc_a")
+        .join(fpInts.toDF("doc_b" +: (0 until nBlocks).map(i => s"b_$i"): _*), "doc_b")
+      val hamming = (0 until nBlocks)
+        .map(i => bit_count(col(s"a_$i").bitwiseXOR(col(s"b_$i"))))
+        .reduce(_ + _)
+      withInts.withColumn("hamming", hamming)
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .localCheckpoint(true)
+    } finally fpInts.unpersist()
   }
 }
