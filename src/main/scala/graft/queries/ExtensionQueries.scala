@@ -298,10 +298,18 @@ object ExtensionQueries {
         SimHash.fingerprintsRelational(Catalog(s, d).documents, 30)),
       Some(SimHash.fingerprintsOracle(30))),
 
-    // SimHash near-dup pairs via block pigeonhole + exact Hamming verify
+    // SimHash near-dup pairs via block pigeonhole + exact Hamming verify.
+    // bucketCap 200, not the default 50: maxHamming=8 means 9 blocks of
+    // 7 bits — a 128-value block space — so at sf0.1's 5000 docs the
+    // mean bucket occupancy is 39, ratio 0.78 to a cap of 50: inside the
+    // measured recall-degradation zone (r20 saturation probe; the lane's
+    // guard rejects it, correctly — the old config was silently losing
+    // ~5-15% of reachable pairs at sf0.1 with the oracle blind to it
+    // because it replays the identical cap). Cap 200 puts the gate at
+    // ratio 0.2, the healthy regime; the oracle applies the same cap.
     "d6_simhash_pairs" -> (
-      ((s: SparkSession, d: String) => SimHash.pairs(Catalog(s, d).documents, 8)),
-      Some(SimHash.pairsOracle(8))),
+      ((s: SparkSession, d: String) => SimHash.pairs(Catalog(s, d).documents, 8, 200)),
+      Some(SimHash.pairsOracle(8, 200))),
 
     // embedding near-dup pairs, exact-decimal cosine
     "d7_embedding_dups" -> (embeddingDups _, Some(embeddingDupsOracle)),
