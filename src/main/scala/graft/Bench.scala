@@ -66,6 +66,13 @@ object Bench {
     * the ambient generation gap without re-building anything. Returns
     * seconds for one execution; callers take min-of-N so the first
     * run's JIT compile drops out.
+    *
+    * Noise floor measured (`bench_records/r20_calibration_noise.json`):
+    * 3.7% spread across 10 back-to-back samples — an order of magnitude
+    * under the generation swings it measures. This fold, not the scan
+    * below, is the primary drift instrument: the scan's reading is
+    * page-cache-state-dependent (75% spread warm-vs-cold), indicative
+    * only.
     */
   private[graft] def calibCpu(): Double = {
     val t0 = System.nanoTime()
