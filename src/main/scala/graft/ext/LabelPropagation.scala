@@ -37,7 +37,16 @@ object LabelPropagation {
     *         previous label
     */
   def communities(edges: DataFrame, iterations: Int = 3): DataFrame = {
-    val adj = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    // partitioned AND sorted by src at cache-build time: every superstep
+    // joins this cache to the ~|nodes| label frame with a sort-merge
+    // join, and an unsorted cache re-Sorts the full adjacency every
+    // round (a LogicalRDD label frame has no stats, so the planner
+    // cannot broadcast it). One sort here removes iterations × |edges|
+    // sort work — r20 opt: ProbeIterJoin measured the 3-superstep chain
+    // 11.49 -> 6.23 s at sf0.1, vs 7.30 s for a forced-broadcast label
+    // side (which would also be memory-unsafe at 100 TB node counts).
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions(col("src")).cache()
     try {
     // nodes feeds ONLY the seed labels frame (one consumer — no cache);
     // adj's cache is what the supersteps reuse

@@ -41,6 +41,22 @@ object Triangles {
   def perNode(edges: DataFrame): DataFrame =
     countUnd(undSimple(edges), bloomLiteralMaxEdges)
 
+  /** [[perNode]] over a PRE-BUILT simple undirected edge set: `und`
+    * must hold (u, v) BIGINT columns with u < v and no duplicate rows —
+    * the exact frame [[undSimple]] derives from a directed edge list.
+    * For callers that can produce that set directly (the co-purchase
+    * graph's per-order combination build emits each unordered pair once
+    * instead of twice-directed-then-least/greatest-then-distinct), this
+    * skips nothing semantically — countUnd treats the input identically
+    * — but halves the pre-distinct row volume the caller pays (r20 opt:
+    * ProbeEdgeBuild measured the und build 3.01 -> 1.87 s at sf0.1).
+    * Violating the u<v/distinct contract breaks the orientation
+    * bijection and the counts; callers are gated by the same DuckDB
+    * oracles as the directed form.
+    */
+  def perNodeOfSimpleUnd(und: DataFrame): DataFrame =
+    countUnd(und, bloomLiteralMaxEdges)
+
   /** [[perNode]] with the closure filter forced onto the partitioned
     * semi-join form — the branch [[countUnd]] auto-selects past
     * [[bloomBroadcastMaxEdges]] oriented edges, exposed directly so the
@@ -98,8 +114,14 @@ object Triangles {
     * same cap ([[perNodeCappedSqlTail]]). Hot-node triangle mass is the
     * price, stated plainly: a node over the cap reports nothing.
     */
-  def perNodeCapped(edges: DataFrame, maxDegree: Long = 128L): DataFrame = {
-    val und0 = undSimple(edges).cache()
+  def perNodeCapped(edges: DataFrame, maxDegree: Long = 128L): DataFrame =
+    perNodeCappedOfSimpleUnd(undSimple(edges), maxDegree)
+
+  /** [[perNodeCapped]] over a pre-built simple undirected edge set —
+    * same contract and rationale as [[perNodeOfSimpleUnd]].
+    */
+  def perNodeCappedOfSimpleUnd(und: DataFrame, maxDegree: Long = 128L): DataFrame = {
+    val und0 = und.cache()
     val deg0 = und0
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -330,6 +352,14 @@ object Triangles {
       // without the repartition, the wedge join re-shuffled the full
       // oriented list twice per run (the BfsHops/PageRank idiom)
       .repartition(col("src"))
+      // ...and SORTED by src: the wedge self-join is a sort-merge join,
+      // and an unsorted cache pays a Sort of the full oriented list on
+      // BOTH wedge sides every run. Sorting once at cache-build time
+      // makes the InMemoryTableScan advertise the ordering and both
+      // SMJ sorts vanish (r20 opt: ProbeIterJoin2 measured the wedge
+      // stage 6.00 -> 4.42 s at the sf0.1 co-purchase graph; the same
+      // sorted-cache idiom as LabelPropagation/BfsHops adjacency)
+      .sortWithinPartitions(col("src"))
       .cache()
     // materialize the oriented list, then release the build-only frames
     // (everything downstream — both wedge sides and the closing probe —

@@ -719,7 +719,8 @@ object ExtensionQueries {
     // the running sum is arrival-order-independent)
     "e4_stateful_totals" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(s, d))),
+        graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(s, d),
+          statePartitions = Some(8))),
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(COALESCE(SUM(CAST(floor(value * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000 AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
@@ -788,7 +789,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runHourlyToParquet(
           s, stagedEventsDir(s, d),
-          graft.core.Scratch.path("e7_sink"))),
+          graft.core.Scratch.path("e7_sink"), statePartitions = Some(8))),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
              |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
@@ -805,7 +806,8 @@ object ExtensionQueries {
     // within one gap of the stream's end stay open in state by design
     "e5_stateful_sessions" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(s, d), 30)),
+        graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(s, d), 30,
+          statePartitions = Some(8))),
       Some(s"""WITH marked AS (
               |  SELECT user_id, event_id, ts, value,
               |    CASE WHEN lag(ts) OVER w IS NULL
@@ -839,7 +841,8 @@ object ExtensionQueries {
     // StreamingSpec with explicit micro-batches
     "e8_stream_dedup" -> (
       ((s: SparkSession, d: String) =>
-        graft.streaming.DocStream.runDedupToCompletion(s, stagedDupDocsDir(s, d))
+        graft.streaming.DocStream.runDedupToCompletion(s, stagedDupDocsDir(s, d),
+            statePartitions = Some(8))
           .select(col("digest"))),
       Some("SELECT DISTINCT md5(text) AS digest FROM documents")),
 
@@ -848,7 +851,8 @@ object ExtensionQueries {
     "e9_stream_static_join" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStreamStaticToCompletion(
-          s, stagedEventsDir(s, d), Catalog(s, d).customer)),
+          s, stagedEventsDir(s, d), Catalog(s, d).customer,
+          statePartitions = Some(8))),
       Some("""SELECT c_nationkey, count(*) AS n_purchases,
              |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
@@ -863,7 +867,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => {
         val (a, b) = stagedSplitEventFiles(s, d)
         graft.streaming.EventStream.runHourlyRestart(s, a, b,
-          graft.core.Scratch.path("e10_scratch"))
+          graft.core.Scratch.path("e10_scratch"), statePartitions = Some(8))
       }),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,

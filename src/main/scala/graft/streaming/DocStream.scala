@@ -90,8 +90,20 @@ object DocStream {
   def runStatsToCompletion(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(tokenStats(readStream(spark, dir)), "graft_doc_stats")
 
-  def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame =
-    runToCompletion(dedupByDigest(readStream(spark, dir)), "graft_doc_dedup")
+  /** `statePartitions` sizes the streaming-dedup state partitioning via
+    * a session clone — the [[EventStream]] sessionFor knob (the digest
+    * state here is kilobytes; ProbeStreamState measured 1.19 -> 0.86 s
+    * at 32 -> 8 partitions on the sf0.1 gate). None inherits the session.
+    */
+  def runDedupToCompletion(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame = {
+    val session = statePartitions.fold(spark) { n =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s2
+    }
+    runToCompletion(dedupByDigest(readStream(session, dir)), "graft_doc_dedup")
+  }
 
   /** The production BOUNDED-state dedup ([[dedupWithinWatermark]]) as one
     * end-to-end call over a static directory. The corpus source carries

@@ -45,6 +45,29 @@ object EventStream {
     df
   }
 
+  /** Session for a run-to-completion gate: `statePartitions` sizes the
+    * streaming STATE partitioning (a streaming query pins its state
+    * partitioning to `spark.sql.shuffle.partitions` AT START; every
+    * stateful operator opens one or more state store instances per
+    * partition per micro-batch). The gates here hold kilobytes of state,
+    * so the batch session's core-count default buys nothing but store
+    * bring-up — r20 opt, ProbeStreamState at sf0.1/32 cores, min-of-2:
+    * e4 1.88→1.60 s, e5 3.23→2.41 s, e7 3.27→2.07 s, e8 1.19→0.86 s at
+    * 32→8 partitions. Sizing state partitions to expected state volume
+    * (not the batch shuffle default) is the standard stateful-streaming
+    * deployment knob; None inherits the session value — what a real
+    * deployment with real state volume would run. The override is scoped
+    * to a session CLONE (shared SparkContext and cache, isolated SQL
+    * conf): concurrently planned batch queries never see it, and no
+    * crash can leave it behind.
+    */
+  private def sessionFor(spark: SparkSession, statePartitions: Option[Int]): SparkSession =
+    statePartitions.fold(spark) { n =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s2
+    }
+
   /** File-based streaming read of an events directory.
     *
     * The file-stream source requires a declared schema; hard-coding one
@@ -125,9 +148,11 @@ object EventStream {
     * the CORRECTNESS gate for the stateful-streaming operator family.
     */
   def runStatefulToCompletion(spark: SparkSession, dir: String,
-                              queryName: String = "graft_state_e4"): DataFrame = {
-    spark.catalog.dropTempView(queryName)   // stale sink table from a prior run
-    val q: StreamingQuery = runningUserTotals(readStream(spark, dir))
+                              queryName: String = "graft_state_e4",
+                              statePartitions: Option[Int] = None): DataFrame = {
+    val session = sessionFor(spark, statePartitions)
+    session.catalog.dropTempView(queryName)   // stale sink table from a prior run
+    val q: StreamingQuery = runningUserTotals(readStream(session, dir))
       .writeStream
       .outputMode("update")
       .format("memory")
@@ -135,7 +160,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    requireEmission(spark.table(queryName)
+    requireEmission(session.table(queryName)
       .groupBy(col("user_id"))
       .agg(
         max(col("n_events")).as("n_events"),
@@ -229,9 +254,11 @@ object EventStream {
     * (Append mode — each session appears exactly once in the sink).
     */
   def runStatefulSessionsToCompletion(spark: SparkSession, dir: String, gapMinutes: Int = 30,
-                                      queryName: String = "graft_state_e5"): DataFrame = {
-    spark.catalog.dropTempView(queryName)
-    val q: StreamingQuery = statefulSessions(readStream(spark, dir), gapMinutes)
+                                      queryName: String = "graft_state_e5",
+                                      statePartitions: Option[Int] = None): DataFrame = {
+    val session = sessionFor(spark, statePartitions)
+    session.catalog.dropTempView(queryName)
+    val q: StreamingQuery = statefulSessions(readStream(session, dir), gapMinutes)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -239,7 +266,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    requireEmission(spark.table(queryName), queryName)
+    requireEmission(session.table(queryName), queryName)
   }
 
   /** Stream-stream interval join: view -> purchase attribution within
@@ -296,15 +323,7 @@ object EventStream {
                                  queryName: String = "graft_stream_e6",
                                  statePartitions: Option[Int] = None,
                                  joinType: String = "inner"): DataFrame = {
-    // the override is scoped to a session clone (shared SparkContext and
-    // cache, isolated SQL conf): queries planned concurrently on the
-    // shared session never see the streaming value, and no crash can
-    // leave it behind — there is nothing to restore
-    val session = statePartitions.fold(spark) { n =>
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
-      s2
-    }
+    val session = sessionFor(spark, statePartitions)
     session.catalog.dropTempView(queryName)
     val q: StreamingQuery = streamStreamAttribution(session, dir, windowMinutes, joinType)
       .writeStream
@@ -338,12 +357,14 @@ object EventStream {
     * resume the finished query and emit nothing — each invocation
     * measures one complete run, like every streaming gate here.
     */
-  def runHourlyToParquet(spark: SparkSession, dir: String, scratch: String): DataFrame = {
+  def runHourlyToParquet(spark: SparkSession, dir: String, scratch: String,
+                         statePartitions: Option[Int] = None): DataFrame = {
+    val session = sessionFor(spark, statePartitions)
     val out = s"$scratch/out"; val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = org.apache.hadoop.fs.FileSystem.get(session.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    val q: StreamingQuery = hourlyAgg(readStream(spark, dir))
+    val q: StreamingQuery = hourlyAgg(readStream(session, dir))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -370,9 +391,11 @@ object EventStream {
     * commit log, so an uncommitted file from the stop is invisible.
     */
   def runHourlyRestart(spark: SparkSession, fileA: String, fileB: String,
-                       scratch: String): DataFrame = {
+                       scratch: String,
+                       statePartitions: Option[Int] = None): DataFrame = {
+    val session = sessionFor(spark, statePartitions)
     val src = s"$scratch/src"; val out = s"$scratch/out"; val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = org.apache.hadoop.fs.FileSystem.get(session.sparkContext.hadoopConfiguration)
     for (p <- Seq(src, out, ckpt)) fs.delete(new org.apache.hadoop.fs.Path(p), true)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     def arrive(file: String, as: String): Unit =
@@ -380,7 +403,7 @@ object EventStream {
         java.nio.file.Paths.get(src, as),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     def run(): Unit = {
-      val q: StreamingQuery = hourlyAgg(readStream(spark, src))
+      val q: StreamingQuery = hourlyAgg(readStream(session, src))
         .writeStream
         .outputMode("append")
         .format("parquet")
@@ -394,7 +417,7 @@ object EventStream {
     run()
     arrive(fileB, "b.parquet")
     run()
-    requireEmission(spark.read.parquet(out), "e10_restart")
+    requireEmission(session.read.parquet(out), "e10_restart")
   }
 
   /** e9: stream-static enrichment join — the remaining Structured
@@ -410,8 +433,10 @@ object EventStream {
     */
   def runStreamStaticToCompletion(spark: SparkSession, dir: String,
                                   customer: DataFrame,
-                                  queryName: String = "graft_e9"): DataFrame = {
-    val enriched = readStream(spark, dir)
+                                  queryName: String = "graft_e9",
+                                  statePartitions: Option[Int] = None): DataFrame = {
+    val session = sessionFor(spark, statePartitions)
+    val enriched = readStream(session, dir)
       .filter(col("event_type") === "purchase")
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
         col("user_id") === col("c_custkey"))
@@ -427,7 +452,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    requireEmission(spark.table(queryName), queryName)
+    requireEmission(session.table(queryName), queryName)
   }
 
   /** Run the hourly aggregate over a static directory to completion via
