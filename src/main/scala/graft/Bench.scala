@@ -269,6 +269,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-side partition discovery to 1024 paths — see the
+      // GraftSession.local comment (r20 opt: the q21/q40/q47 family
+      // reads a 358-directory table; the default's 358-task listing
+      // job costs ~0.8 s per read on a local FS)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
