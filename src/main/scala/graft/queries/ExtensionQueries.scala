@@ -156,6 +156,21 @@ object ExtensionQueries {
     * where it is semantically pinned: e10's explicit two-file restart
     * schedule and StreamingPropertySpec's generated disorder laws.
     */
+  /** State partitioning for the run-to-completion streaming gates:
+    * min(8, cores). The gates hold kilobytes of state, so the batch
+    * session's shuffle default buys pure state-store bring-up (the r18
+    * e6/e12 finding, generalized to all eight gates in r20 —
+    * ProbeStreamState: e7 3.27→2.07 s, e8 1.19→0.86 s at 32→8 on 32
+    * cores) — but a FIXED 8 over-partitions low-core runs: at 4 cores
+    * the 8-partition arm measured e7 +26 % / e8 +25 % vs inheriting the
+    * session's 4 (two task waves per stateful stage per micro-batch).
+    * min(volume-bound, cores) keeps the win at every core count the
+    * scaling sweep measures; real deployments with real state volume
+    * pass None and size the session conf instead.
+    */
+  private def gateStateParts(s: SparkSession): Int =
+    math.min(8, s.sparkContext.defaultParallelism)
+
   private val stagedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedEventsDir(s: SparkSession, d: String): String =
     stagedEvents.getOrElseUpdate(d, {
@@ -720,7 +735,7 @@ object ExtensionQueries {
     "e4_stateful_totals" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStatefulToCompletion(s, stagedEventsDir(s, d),
-          statePartitions = Some(8))),
+          statePartitions = Some(gateStateParts(s)))),
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(COALESCE(SUM(CAST(floor(value * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000 AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
@@ -733,7 +748,7 @@ object ExtensionQueries {
         // 8 state partitions: the gate's join state is kilobytes, and a
         // stream-stream join opens 4 state stores per partition per side
         graft.streaming.EventStream.runAttributionToCompletion(
-          s, stagedEventsDir(s, d), 30, statePartitions = Some(8))),
+          s, stagedEventsDir(s, d), 30, statePartitions = Some(gateStateParts(s)))),
       Some("""SELECT a.user_id,
              |  a.event_id AS view_event_id, b.event_id AS purchase_event_id,
              |  a.ts AS view_ts, b.ts AS purchase_ts
@@ -754,7 +769,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runAttributionToCompletion(
           s, stagedEventsDir(s, d), 30, queryName = "graft_stream_e12",
-          statePartitions = Some(8), joinType = "left_outer")),
+          statePartitions = Some(gateStateParts(s)), joinType = "left_outer")),
       Some("""WITH mx AS (
              |  SELECT least(
              |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'view'),
@@ -789,7 +804,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runHourlyToParquet(
           s, stagedEventsDir(s, d),
-          graft.core.Scratch.path("e7_sink"), statePartitions = Some(8))),
+          graft.core.Scratch.path("e7_sink"), statePartitions = Some(gateStateParts(s)))),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
              |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
@@ -807,7 +822,7 @@ object ExtensionQueries {
     "e5_stateful_sessions" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStatefulSessionsToCompletion(s, stagedEventsDir(s, d), 30,
-          statePartitions = Some(8))),
+          statePartitions = Some(gateStateParts(s)))),
       Some(s"""WITH marked AS (
               |  SELECT user_id, event_id, ts, value,
               |    CASE WHEN lag(ts) OVER w IS NULL
@@ -842,7 +857,7 @@ object ExtensionQueries {
     "e8_stream_dedup" -> (
       ((s: SparkSession, d: String) =>
         graft.streaming.DocStream.runDedupToCompletion(s, stagedDupDocsDir(s, d),
-            statePartitions = Some(8))
+            statePartitions = Some(gateStateParts(s)))
           .select(col("digest"))),
       Some("SELECT DISTINCT md5(text) AS digest FROM documents")),
 
@@ -852,7 +867,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.runStreamStaticToCompletion(
           s, stagedEventsDir(s, d), Catalog(s, d).customer,
-          statePartitions = Some(8))),
+          statePartitions = Some(gateStateParts(s)))),
       Some("""SELECT c_nationkey, count(*) AS n_purchases,
              |  CAST(CAST(SUM(CAST(CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 99999999999999.9 THEN NULL ELSE value END AS DECIMAL(18,4))) AS VARCHAR(64)) AS DOUBLE) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
@@ -867,7 +882,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => {
         val (a, b) = stagedSplitEventFiles(s, d)
         graft.streaming.EventStream.runHourlyRestart(s, a, b,
-          graft.core.Scratch.path("e10_scratch"), statePartitions = Some(8))
+          graft.core.Scratch.path("e10_scratch"), statePartitions = Some(gateStateParts(s)))
       }),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |  count(*) AS n_events,
