@@ -137,6 +137,26 @@ object ExtensionQueries {
     }
   }
 
+  /** State partitioning for the run-to-completion streaming gates:
+    * min(4, cores). The gates hold kilobytes of state, so the batch
+    * session's shuffle default buys pure state-store bring-up (the r18
+    * e6/e12 finding, generalized to all eight gates in r20 —
+    * ProbeStreamState: e7 3.27→2.07 s, e8 1.19→0.86 s at 32→8 on 32
+    * cores) — but a FIXED bound over-partitions low-core runs: at 4
+    * cores the 8-partition arm measured e7 +26 % / e8 +25 % vs
+    * inheriting the session's 4 (two task waves per stateful stage per
+    * micro-batch). The bound retuned 8→4 in r21 (ProbeStateParts4,
+    * interleaved min-of-3 over all eight gates at 32 AND 8 cores: 4
+    * wins or ties every gate at both — e6 3.34→2.57, e12 3.25→2.73,
+    * e10 3.22→2.82 s at 32 cores; family mins 17.1→14.9 s — and 2 was
+    * measured noise-equal to 4 on e6, so 4 keeps the headroom).
+    * min(volume-bound, cores) keeps the win at every core count the
+    * scaling sweep measures; real deployments with real state volume
+    * pass None and size the session conf instead.
+    */
+  private def gateStateParts(s: SparkSession): Int =
+    math.min(4, s.sparkContext.defaultParallelism)
+
   /** The events table staged into a scratch DIRECTORY (the file-stream
     * source requires one), memoized per sf path so the copy is paid once
     * per process — NOT inside e4's timed bench window, whose min-of-N
@@ -156,21 +176,6 @@ object ExtensionQueries {
     * where it is semantically pinned: e10's explicit two-file restart
     * schedule and StreamingPropertySpec's generated disorder laws.
     */
-  /** State partitioning for the run-to-completion streaming gates:
-    * min(8, cores). The gates hold kilobytes of state, so the batch
-    * session's shuffle default buys pure state-store bring-up (the r18
-    * e6/e12 finding, generalized to all eight gates in r20 —
-    * ProbeStreamState: e7 3.27→2.07 s, e8 1.19→0.86 s at 32→8 on 32
-    * cores) — but a FIXED 8 over-partitions low-core runs: at 4 cores
-    * the 8-partition arm measured e7 +26 % / e8 +25 % vs inheriting the
-    * session's 4 (two task waves per stateful stage per micro-batch).
-    * min(volume-bound, cores) keeps the win at every core count the
-    * scaling sweep measures; real deployments with real state volume
-    * pass None and size the session conf instead.
-    */
-  private def gateStateParts(s: SparkSession): Int =
-    math.min(8, s.sparkContext.defaultParallelism)
-
   private val stagedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedEventsDir(s: SparkSession, d: String): String =
     stagedEvents.getOrElseUpdate(d, {
@@ -745,7 +750,7 @@ object ExtensionQueries {
     // the batch interval join exactly — no watermark cutoff
     "e6_stream_stream_join" -> (
       ((s: SparkSession, d: String) =>
-        // 8 state partitions: the gate's join state is kilobytes, and a
+        // bounded state partitions: the gate's join state is kilobytes, and a
         // stream-stream join opens 4 state stores per partition per side
         graft.streaming.EventStream.runAttributionToCompletion(
           s, stagedEventsDir(s, d), 30, statePartitions = Some(gateStateParts(s)))),

@@ -97,11 +97,7 @@ object DocStream {
     */
   def runDedupToCompletion(spark: SparkSession, dir: String,
                            statePartitions: Option[Int] = None): DataFrame = {
-    val session = statePartitions.fold(spark) { n =>
-      val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
-      s2
-    }
+    val session = EventStream.sessionFor(spark, statePartitions)
     runToCompletion(dedupByDigest(readStream(session, dir)), "graft_doc_dedup")
   }
 

@@ -61,7 +61,7 @@ object EventStream {
     * conf): concurrently planned batch queries never see it, and no
     * crash can leave it behind.
     */
-  private def sessionFor(spark: SparkSession, statePartitions: Option[Int]): SparkSession =
+  private[streaming] def sessionFor(spark: SparkSession, statePartitions: Option[Int]): SparkSession =
     statePartitions.fold(spark) { n =>
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -373,7 +373,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    requireEmission(spark.read.parquet(out), "e7_file_sink")
+    requireEmission(session.read.parquet(out), "e7_file_sink")
   }
 
   /** e10: checkpointed RESTART with exactly-once file-sink output —
