@@ -274,6 +274,10 @@ object Bench {
       // reads a 358-directory table; the default's 358-task listing
       // job costs ~0.8 s per read on a local FS)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // volume-adaptive cached-plan partitioning — see the GraftSession
+      // comment (r21 opt: the bench measures the engine as configured;
+      // timing methodology is untouched)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -47,6 +47,21 @@ object GraftSession {
       // should set it back toward the default so wide tables list in
       // parallel; 1024 dirs is still kilobytes of driver metadata.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // let AQE size CACHED plans' output partitioning by volume (off
+      // upstream by default): the iterative operators cache small keyed
+      // frames (graph adjacency/oriented lists, dedup edge/label frames,
+      // gram arrays) built by keyed repartitions, and with the flag off
+      // every such cache materializes at the session's shuffle-partition
+      // count — per-superstep joins then run core-count-many tasks over
+      // kilobyte partitions (8-vs-32-core bench ratio 0.41 on g1: pure
+      // task overhead at this SF). With it on, AQE coalesces the cache
+      // build to the advisory partition size, so the per-round task
+      // count tracks DATA VOLUME at any scale — r21 interleaved A/Bs:
+      // g3 0.76-0.85x, g5 0.73-0.84x, d8 0.75-0.86x, ml_kmeans_autok
+      // 0.59x, g1 0.90x, d3/d6/d14/d10/d12 0.91-0.93x, nothing slower
+      // (operators whose per-round compute needs full parallelism pin an
+      // explicit partition count instead — LabelPropagation's adjacency).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,8 +45,20 @@ object LabelPropagation {
     // sort work — r20 opt: ProbeIterJoin measured the 3-superstep chain
     // 11.49 -> 6.23 s at sf0.1, vs 7.30 s for a forced-broadcast label
     // side (which would also be memory-unsafe at 100 TB node counts).
+    // EXPLICIT partition count: with volume-adaptive cached-plan
+    // partitioning on (GraftSession, r21), a keyed repartition with no
+    // count coalesces to the advisory size — right for caches feeding
+    // joins against tiny frames, wrong here: every superstep aggregates
+    // the FULL |edges| (dst, label) vote stream, so the cache's
+    // partition count is the supersteps' compute parallelism (measured:
+    // the coalesced cache read g4 1.03-1.13x slower across four
+    // interleaved A/Bs while every other iterative operator won). An
+    // explicit count is AQE-exempt, pinning today's behavior at any
+    // conf; shuffle-partition count tracks deployment sizing.
     val adj = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+      .repartition(edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("src"))
+      .sortWithinPartitions(col("src")).cache()
     try {
     // nodes feeds ONLY the seed labels frame (one consumer — no cache);
     // adj's cache is what the supersteps reuse

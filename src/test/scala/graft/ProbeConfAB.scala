@@ -4,7 +4,7 @@ import graft.core.GraftSession
 
 /** Dev-loop probe: same-session A/B of a SQL conf over registry queries.
   *
-  * Usage: Test/runMain graft.ProbeConfAB <confKey> <offVal> <onVal> <q1,q2,...> [sfDir]
+  * Usage: Test/runMain graft.ProbeConfAB <confKey> <offVal> <onVal> <q1,q2,...> [sfDir] [cores]
   * Runs each query min-of-2 per conf value, interleaved (off,on,off,on),
   * after one warm run — ambient drift hits both arms equally.
   */
@@ -13,7 +13,8 @@ object ProbeConfAB {
     val key = args(0); val off = args(1); val on = args(2)
     val names = args(3).split(",").map(_.trim).filter(_.nonEmpty)
     val sf = if (args.length > 4) args(4) else "/root/testdata/sf0.1"
-    val spark = GraftSession.local("probe-confab", 32)
+    val cores = if (args.length > 5) args(5).toInt else 32
+    val spark = GraftSession.local("probe-confab", cores)
     spark.sparkContext.setLogLevel("WARN")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
