@@ -109,9 +109,15 @@ object AlsTwin {
     * and `CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)` in DuckDB.
     */
   def hash48(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    // first 12 hex chars of the md5 == the first 6 digest bytes read
+    // big-endian — computed directly instead of formatting 16 bytes to
+    // hex and parsing 12 back (the old form spent most of AlsTwin.fit's
+    // driver wall here: ~40k init hashes × 16 String.format calls,
+    // ProbeAlsPhases r21); value is bit-identical by construction
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
   /** Initial factor for one (entity, dim): md5 prefix mod 2001 − 1000,
@@ -145,45 +151,97 @@ object AlsTwin {
     * arrays. Integer moment sums make iteration order irrelevant.
     */
   def fit(rows: Array[Array[Long]]): (Array[(Long, Long, Long)], Array[(Long, Long, Long)]) = {
-    val obs = rows.map(r => (r(0), r(1), math.min(r(2), ConfCap)))
-    val byUser = obs.groupBy(_._1)
-    val byItem = obs.groupBy(_._2)
-    var itemF: Map[Long, (Long, Long)] = byItem.keysIterator
-      .map(j => j -> (initFactor(j, 1), initFactor(j, 2))).toMap
-    var userF: Map[Long, (Long, Long)] = Map.empty
+    // Primitive-array (CSR) form of the alternating sweeps — the r20
+    // Map-of-tuples form spent 0.4–0.9 s of DRIVER wall boxing longs and
+    // hashing keys per observation per sweep (ProbeAlsPhases). Every
+    // arithmetic step below is the identical sequence of exact Long adds
+    // and [[solve2x2]] calls (integer sums commute exactly; the solve is
+    // per-entity), so the factors are bit-identical to the old form —
+    // pinned by AlsTwinSpec against the unchanged oracle.
+    val nObs = rows.length
+    // dense entity indices, keyed by first appearance
+    val userIdx = new java.util.HashMap[Long, Integer]()
+    val itemIdx = new java.util.HashMap[Long, Integer]()
+    val uOf = new Array[Int](nObs); val iOf = new Array[Int](nObs)
+    val cm1 = new Array[Long](nObs)
+    var k = 0
+    while (k < nObs) {
+      val r = rows(k)
+      var u = userIdx.get(r(0))
+      if (u == null) { u = userIdx.size(); userIdx.put(r(0), u) }
+      var j = itemIdx.get(r(1))
+      if (j == null) { j = itemIdx.size(); itemIdx.put(r(1), j) }
+      uOf(k) = u; iOf(k) = j; cm1(k) = math.min(r(2), ConfCap)
+      k += 1
+    }
+    val nU = userIdx.size(); val nI = itemIdx.size()
+    val userIds = new Array[Long](nU); val itemIds = new Array[Long](nI)
+    userIdx.forEach((id, ix) => userIds(ix) = id)
+    itemIdx.forEach((id, ix) => itemIds(ix) = id)
+    // CSR adjacency per side: obs offsets grouped by entity index
+    def csr(n: Int, of: Array[Int]): (Array[Int], Array[Int]) = {
+      val cnt = new Array[Int](n + 1)
+      var t = 0
+      while (t < nObs) { cnt(of(t) + 1) += 1; t += 1 }
+      var e = 1
+      while (e <= n) { cnt(e) += cnt(e - 1); e += 1 }
+      val pos = java.util.Arrays.copyOf(cnt, n)
+      val obsAt = new Array[Int](nObs)
+      t = 0
+      while (t < nObs) { val ent = of(t); obsAt(pos(ent)) = t; pos(ent) += 1; t += 1 }
+      (cnt, obsAt)
+    }
+    val (uOff, uObs) = csr(nU, uOf)
+    val (iOff, iObs) = csr(nI, iOf)
 
-    def gram(f: Map[Long, (Long, Long)]): (Long, Long, Long) = {
+    val if1 = new Array[Long](nI); val if2 = new Array[Long](nI)
+    var x = 0
+    while (x < nI) {
+      if1(x) = initFactor(itemIds(x), 1); if2(x) = initFactor(itemIds(x), 2)
+      x += 1
+    }
+    val uf1 = new Array[Long](nU); val uf2 = new Array[Long](nU)
+
+    // one side's sweep: solve each entity of (f1e, f2e) from the other
+    // side's current factors; otherOf maps an obs to its other-side index
+    def sweep(n: Int, off: Array[Int], obsAt: Array[Int], otherOf: Array[Int],
+              o1: Array[Long], o2: Array[Long], nOther: Int,
+              f1e: Array[Long], f2e: Array[Long]): Unit = {
       var g11 = 0L; var g12 = 0L; var g22 = 0L
-      f.valuesIterator.foreach { case (y1, y2) =>
+      var q = 0
+      while (q < nOther) {
+        val y1 = o1(q); val y2 = o2(q)
         g11 += y1 * y1; g12 += y1 * y2; g22 += y2 * y2
+        q += 1
       }
-      (g11, g12, g22)
-    }
-
-    // one side's sweep: entityObs maps entity -> (otherId, cm1) pairs
-    def sweep(entityObs: Map[Long, Array[(Long, Long)]],
-              other: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] = {
-      val (g11, g12, g22) = gram(other)
-      entityObs.map { case (e, os) =>
+      var e = 0
+      while (e < n) {
         var a11 = 0L; var a12 = 0L; var a22 = 0L; var b1 = 0L; var b2 = 0L
-        os.foreach { case (o, cm1) =>
-          val (y1, y2) = other(o)
-          a11 += cm1 * y1 * y1; a12 += cm1 * y1 * y2; a22 += cm1 * y2 * y2
-          b1 += (cm1 + 1L) * y1; b2 += (cm1 + 1L) * y2
+        var p = off(e)
+        val end = off(e + 1)
+        while (p < end) {
+          val t = obsAt(p)
+          val c = cm1(t)
+          val y1 = o1(otherOf(t)); val y2 = o2(otherOf(t))
+          a11 += c * y1 * y1; a12 += c * y1 * y2; a22 += c * y2 * y2
+          b1 += (c + 1L) * y1; b2 += (c + 1L) * y2
+          p += 1
         }
-        e -> solve2x2(g11 + a11 + LambdaInt, g12 + a12, g22 + a22 + LambdaInt, b1, b2)
+        val (v1, v2) = solve2x2(g11 + a11 + LambdaInt, g12 + a12,
+          g22 + a22 + LambdaInt, b1, b2)
+        f1e(e) = v1; f2e(e) = v2
+        e += 1
       }
     }
 
-    val userObs = byUser.map { case (u, os) => u -> os.map(t => (t._2, t._3)) }
-    val itemObs = byItem.map { case (j, os) => j -> os.map(t => (t._1, t._3)) }
     for (_ <- 1 to Iters) {
-      userF = sweep(userObs, itemF)
-      itemF = sweep(itemObs, userF)
+      sweep(nU, uOff, uObs, iOf, if1, if2, nI, uf1, uf2)
+      sweep(nI, iOff, iObs, uOf, uf1, uf2, nU, if1, if2)
     }
-    def sortedArr(f: Map[Long, (Long, Long)]): Array[(Long, Long, Long)] =
-      f.toArray.map { case (k, (a, b)) => (k, a, b) }.sortBy(_._1)
-    (sortedArr(userF), sortedArr(itemF))
+    def sortedArr(ids: Array[Long], f1e: Array[Long], f2e: Array[Long])
+        : Array[(Long, Long, Long)] =
+      ids.indices.map(ix => (ids(ix), f1e(ix), f2e(ix))).toArray.sortBy(_._1)
+    (sortedArr(userIds, uf1, uf2), sortedArr(itemIds, if1, if2))
   }
 
   /** (custkey, partkey, pred, rn): top-[[TopN]] observed pairs per user
