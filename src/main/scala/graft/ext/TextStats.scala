@@ -35,10 +35,27 @@ object TextStats {
     * text first would re-introduce divergence via İ-style full-case
     * mappings).
     */
-  private def tokenMemberCount(text: Column, words: Seq[String], lowerFirst: Boolean): Column = {
+  private[graft] def tokenMemberCount(text: Column, words: Seq[String], lowerFirst: Boolean): Column = {
     val toks = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
     size(filter(toks, t => (if (lowerFirst) lower(t) else t).isin(words: _*)))
   }
+
+  /** All four marker-word member counts — stopwords (case-sensitive) +
+    * en/es/fr markers (per-token lowered) — as ONE native
+    * [[graft.functions.TokenMemberCounts]] pass. [[qualityCounts]] and
+    * [[langCounts]] both element_at this SAME expression tree, so a
+    * projection computing quality and lang together tokenizes once via
+    * subexpression elimination; the r20 form ran four
+    * regexp_extract_all materializations + four interpreted
+    * higher-order filters per row (ProbeTextKernels r21: the quality+
+    * lang projection was 0.93 s of the sf0.1 corpus pass — 4x the cost
+    * of both shingle kernels combined). Values are pinned equal to the
+    * relational [[tokenMemberCount]] form (and so to the unchanged
+    * DuckDB oracles) by NativeParityFuzzSpec.
+    */
+  private def memberCounts(text: Column): Column =
+    graft.functions.TokenMemberCounts.of(text, Seq(
+      (stopwords, false), (enMarkers, true), (esMarkers, true), (frMarkers, true)))
 
   /** The matching DuckDB fragment for [[tokenMemberCount]]. */
   private def tokenMemberCountSql(textCol: String, words: Seq[String], lowerFirst: Boolean): String = {
@@ -52,16 +69,16 @@ object TextStats {
     */
   private def qualityCounts(text: Column): (Column, Column, Column) = {
     val c = graft.functions.RegexCounts.of(text, Seq("\\S+", "[^A-Za-z0-9 ]"))
-    (element_at(c, 1), tokenMemberCount(text, stopwords, lowerFirst = false), element_at(c, 2))
+    (element_at(c, 1), element_at(memberCounts(text), 1), element_at(c, 2))
   }
 
   /** The three language marker counts — the portable token contract,
     * case-insensitive via per-token lowering.
     */
   private def langCounts(text: Column): (Column, Column, Column) =
-    (tokenMemberCount(text, enMarkers, lowerFirst = true),
-      tokenMemberCount(text, esMarkers, lowerFirst = true),
-      tokenMemberCount(text, frMarkers, lowerFirst = true))
+    (element_at(memberCounts(text), 2),
+      element_at(memberCounts(text), 3),
+      element_at(memberCounts(text), 4))
 
   /** BPE-ish subword proxy: letter runs, digit runs, or single punctuation
     * marks — the usual pre-tokenizer split that upper-bounds BPE tokens.

@@ -104,6 +104,22 @@ class NativeParityFuzzSpec extends AnyFunSuite with SharedSpark
     assert(bad.forall(_ == 0L), s"per-pattern mismatches: $bad")
   }
 
+  test("TokenMemberCounts == regexp_extract_all + filter/isin on adversarial text") {
+    val lists = Seq(
+      (Seq("the", "a", "of", "and", "to", "in", "is", "it"), false),
+      (Seq("the", "and", "of", "to", "is"), true),
+      (Seq("el", "la", "de", "que", "es"), true),
+      (Seq("le", "la", "de", "et", "est"), true))
+    val native = graft.functions.TokenMemberCounts.of(col("text"), lists).as("counts")
+    val builtins = lists.zipWithIndex.map { case ((words, lowerFirst), i) =>
+      TextStats.tokenMemberCount(col("text"), words, lowerFirst).as(s"b_$i")
+    }
+    val cmp = docs.select(native +: builtins: _*)
+    val bad = lists.indices
+      .map(i => cmp.filter(element_at(col("counts"), i + 1) =!= col(s"b_$i")).count())
+    assert(bad.forall(_ == 0L), s"per-list mismatches: $bad")
+  }
+
   test("WordGramHashes == relational split/md5 formulation on adversarial text") {
     for (n <- Seq(2, 3)) {
       val cmp = docs.select(
